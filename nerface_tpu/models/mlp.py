@@ -1,0 +1,125 @@
+"""Functional dense-layer primitives with torch-compatible parameter layout.
+
+Models in this framework are pure functions over explicit parameter pytrees
+(flat dicts keyed by torch-style state_dict names, e.g.
+``"layers_xyz.0.weight"``).  This buys three things on TPU:
+
+* the whole radiance-field evaluation is one traced function — no module
+  dispatch, no Python in the hot loop, everything fuses under jit;
+* checkpoint interop with the reference's ``torch.save`` dicts is a 1:1
+  key/value mapping (weights stay in torch's (out, in) layout — XLA's
+  dot_general contracts transposed operands for free, so no relayout);
+* conditioning inputs that are constant across a batch (the per-frame
+  expression and latent code) can be algebraically folded: for a layer
+  y = W @ [x; e; l] + b, the [e; l] columns contribute a single (out,)
+  vector computed once per frame and broadcast — instead of materializing
+  (N·S, 76+32) replicated inputs like the reference does
+  (`models.py:239-242`).  Exact same math, ~40% less layer-0 FLOPs and far
+  less HBM traffic.
+
+Initialization matches torch.nn.Linear's default (kaiming_uniform with
+a=sqrt(5), which reduces to U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both
+weight and bias) so training trajectories are comparable.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, jnp.ndarray]
+
+
+def linear_init(key: jax.Array, in_dim: int, out_dim: int, dtype=jnp.float32):
+    """torch.nn.Linear default init: weight (out, in) and bias (out,),
+    both ~ U(-1/sqrt(in), 1/sqrt(in))."""
+    wkey, bkey = jax.random.split(key)
+    bound = 1.0 / np.sqrt(in_dim)
+    weight = jax.random.uniform(
+        wkey, (out_dim, in_dim), dtype=dtype, minval=-bound, maxval=bound
+    )
+    bias = jax.random.uniform(
+        bkey, (out_dim,), dtype=dtype, minval=-bound, maxval=bound
+    )
+    return weight, bias
+
+
+def add_linear(
+    params: Params, key: jax.Array, name: str, in_dim: int, out_dim: int
+) -> None:
+    w, b = linear_init(key, in_dim, out_dim)
+    params[name + ".weight"] = w
+    params[name + ".bias"] = b
+
+
+def linear(params: Params, name: str, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """y = x @ W.T + b with torch-layout W (out, in)."""
+    w = params[name + ".weight"]
+    b = params[name + ".bias"]
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+    y = jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return y + b.astype(y.dtype)
+
+
+def linear_cols(
+    params: Params,
+    name: str,
+    x: jnp.ndarray,
+    col_start: int,
+    col_end: int,
+    dtype=None,
+    with_bias: bool = False,
+) -> jnp.ndarray:
+    """Contribution of input columns [col_start, col_end) of a big linear:
+    x @ W[:, col_start:col_end].T (+ b).
+
+    Used for the constant-conditioning fold: the full layer
+    W @ [x; e; l] + b decomposes into slices over W's input columns.
+    """
+    w = params[name + ".weight"][:, col_start:col_end]
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+    y = jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if with_bias:
+        y = y + params[name + ".bias"].astype(y.dtype)
+    return y
+
+
+def cond_contribution(
+    params: Params,
+    name: str,
+    segments: Sequence[tuple],
+    offset: int,
+    dtype=None,
+) -> jnp.ndarray:
+    """Sum of column-slice contributions for per-frame constant inputs.
+
+    segments: sequence of (vector, width); `vector` may be (width,) for a
+    single frame (fast path — the result is one (out,) vector) or
+    (N, width) for per-row conditioning.  `offset` is the starting input
+    column (i.e. the width of the non-constant prefix, e.g. PE(xyz)).
+    """
+    total = None
+    col = offset
+    for vec, width in segments:
+        v = vec if vec.ndim > 1 else vec[None, :]
+        contrib = linear_cols(params, name, v, col, col + width, dtype=dtype)
+        if vec.ndim == 1:
+            contrib = contrib[0]
+        total = contrib if total is None else total + contrib
+        col += width
+    return total
+
+
+def relu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.relu(x)
