@@ -1,0 +1,320 @@
+"""The rendering pipeline: coarse pass → hierarchical resample → fine pass
+→ composite, as one traced function.
+
+Replaces the reference's orchestration stack (`train_utils.py`:
+`run_network` :9-33, `predict_and_render_radiance` :36-162,
+`run_one_iter_of_nerf` :165-290).  The reference's Python chunk loop
+(`get_minibatches`, chunksize 2048/65536) exists only to bound GPU memory;
+under jit the whole ray batch is one program and memory is bounded by
+tiling at the *eval* level (`nerface_tpu/eval`), so there is no chunk loop
+here at all.
+
+Faithfully reproduced semantics (see SURVEY.md §2.4):
+
+* ray records are conceptually ``[ro, rd, near, far]`` — and the
+  "view-direction" input the reference feeds the direction branch is
+  ``ray_batch[..., -3:]`` of that 8-float record (`train_utils.py:14`),
+  i.e. **[rd_z, near, far]**, not the normalized direction (the normalized
+  `viewdirs` is computed at `train_utils.py:183-188` and then discarded at
+  :218).  Checkpoint parity requires reproducing exactly this.
+* background injection overwrites the last sample's radiance with the raw
+  background pixel before compositing (`train_utils.py:95-96,141-142`).
+* hierarchical sampling uses coarse weights[..., 1:-1] over z-midpoints,
+  det when perturb==0, gradient-stopped, merged+sorted with the coarse
+  z-values (`train_utils.py:117-126`).
+* the last return value is the *fine* weights' final (background) column
+  (`train_utils.py:162`).
+* when `ray_directions_ablation` is provided (eval-only view-direction
+  ablation), the direction-branch input is taken from the ablation rays.
+  Deviation: the reference pairs each chunk with the ablation rays of the
+  *first* chunk (`train_utils.py:82` indexes `ray_dirs_fake[0]`); we pair
+  per-ray (the sane alignment), documented here as intended behavior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nerface_tpu.ops.compositing import inject_background, volume_render_radiance_field
+from nerface_tpu.ops.encoding import positional_encoding
+from nerface_tpu.ops.rays import ndc_rays
+from nerface_tpu.ops.sampling import merge_sorted_zvals, sample_pdf, stratified_zvals
+
+
+@dataclasses.dataclass(frozen=True)
+class EncodeSpec:
+    num_encoding_functions: int
+    include_input: bool
+    log_sampling: bool
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return positional_encoding(
+            x,
+            num_encoding_functions=self.num_encoding_functions,
+            include_input=self.include_input,
+            log_sampling=self.log_sampling,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Static (hashable) render configuration — safe as a jit static arg.
+
+    Mirrors `getattr(options.nerf, mode)` plus the dataset near/far bounds.
+    """
+
+    num_coarse: int = 64
+    num_fine: int = 64
+    perturb: bool = True
+    radiance_field_noise_std: float = 0.0
+    white_background: bool = False
+    lindisp: bool = False
+    use_viewdirs: bool = True
+    near: float = 0.2
+    far: float = 0.8
+    no_ndc: bool = True
+    encode_xyz: EncodeSpec = EncodeSpec(10, True, True)
+    encode_dir: Optional[EncodeSpec] = EncodeSpec(4, False, True)
+    chunksize: int = 65536  # eval-time ray tile size (memory bound), not a loop here
+
+    @classmethod
+    def from_cfg(cls, cfg, mode: str = "train") -> "RenderSettings":
+        node = getattr(cfg.nerf, mode)
+        encode_dir = None
+        if cfg.models.coarse.use_viewdirs:
+            encode_dir = EncodeSpec(
+                cfg.models.coarse.num_encoding_fn_dir,
+                cfg.models.coarse.include_input_dir,
+                cfg.models.coarse.log_sampling_dir,
+            )
+        return cls(
+            num_coarse=node.num_coarse,
+            num_fine=node.num_fine,
+            perturb=bool(node.perturb),
+            radiance_field_noise_std=float(node.radiance_field_noise_std),
+            white_background=bool(node.white_background),
+            lindisp=bool(node.lindisp),
+            use_viewdirs=bool(cfg.nerf.use_viewdirs),
+            near=float(cfg.dataset.near),
+            far=float(cfg.dataset.far),
+            no_ndc=bool(cfg.dataset.no_ndc),
+            encode_xyz=EncodeSpec(
+                cfg.models.coarse.num_encoding_fn_xyz,
+                cfg.models.coarse.include_input_xyz,
+                cfg.models.coarse.log_sampling_xyz,
+            ),
+            encode_dir=encode_dir,
+            chunksize=int(node.chunksize),
+        )
+
+
+def _direction_branch_input(
+    rd: jnp.ndarray, near: jnp.ndarray, far: jnp.ndarray
+) -> jnp.ndarray:
+    """The reference's de-facto view-direction input: columns [-3:] of the
+    8-float ray record = [rd_z, near, far] (`train_utils.py:14`)."""
+    return jnp.stack(
+        [rd[..., 2], jnp.broadcast_to(near[..., 0], rd.shape[:-1]),
+         jnp.broadcast_to(far[..., 0], rd.shape[:-1])],
+        axis=-1,
+    )
+
+
+def render_rays(
+    model_coarse,
+    model_fine,
+    params_coarse,
+    params_fine,
+    ray_origins: jnp.ndarray,
+    ray_directions: jnp.ndarray,
+    settings: RenderSettings,
+    key: Optional[jax.Array] = None,
+    expressions: Optional[jnp.ndarray] = None,
+    latent_code: Optional[jnp.ndarray] = None,
+    background_prior: Optional[jnp.ndarray] = None,
+    ray_directions_ablation: Optional[jnp.ndarray] = None,
+    dtype=None,
+) -> Dict[str, Any]:
+    """Render a batch of rays. Everything is static-shaped and jit-safe.
+
+    ray_origins/ray_directions: (R, 3). background_prior: (R, 3) or None.
+    Returns a dict with coarse/fine rgb/disp/acc maps, per-sample fine
+    weights, the fine background weight column, and depth maps for the
+    normals path.
+    """
+    num_rays = ray_origins.shape[0]
+    ro = ray_origins.reshape(-1, 3)
+    rd = ray_directions.reshape(-1, 3)
+
+    if not settings.no_ndc:
+        raise NotImplementedError(
+            "NDC ray path is only used by the stock LLFF configs; "
+            "use ops.rays.ndc_rays upstream."
+        )
+
+    near = jnp.full((num_rays, 1), settings.near, dtype=ro.dtype)
+    far = jnp.full((num_rays, 1), settings.far, dtype=ro.dtype)
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k_strat, k_noise_c, k_pdf, k_noise_f = jax.random.split(key, 4)
+
+    # ---- coarse pass -------------------------------------------------------
+    z_vals = stratified_zvals(
+        k_strat, near, far, settings.num_coarse,
+        lindisp=settings.lindisp, perturb=settings.perturb,
+    )
+    pts = ro[..., None, :] + rd[..., None, :] * z_vals[..., :, None]
+    pe_xyz = settings.encode_xyz(pts)
+
+    pe_dir = None
+    if settings.use_viewdirs and settings.encode_dir is not None:
+        dir_src = rd if ray_directions_ablation is None else (
+            ray_directions_ablation.reshape(-1, 3)
+        )
+        pe_dir = settings.encode_dir(_direction_branch_input(dir_src, near, far))
+
+    radiance_coarse = model_coarse.apply(
+        params_coarse, pe_xyz, pe_dir,
+        expressions if model_coarse.takes_expression else None,
+        latent_code if model_coarse.takes_latent else None,
+        dtype=dtype,
+    )
+    radiance_coarse = inject_background(radiance_coarse, background_prior)
+
+    rgb_coarse, disp_coarse, acc_coarse, weights, depth_coarse = (
+        volume_render_radiance_field(
+            radiance_coarse,
+            z_vals,
+            rd,
+            radiance_field_noise_std=settings.radiance_field_noise_std,
+            white_background=settings.white_background,
+            background_prior=background_prior,
+            noise_key=k_noise_c,
+            return_depth=True,
+        )
+    )
+
+    out: Dict[str, Any] = {
+        "rgb_coarse": rgb_coarse,
+        "disp_coarse": disp_coarse,
+        "acc_coarse": acc_coarse,
+        "depth_coarse": depth_coarse,
+        "rgb_fine": None,
+        "disp_fine": None,
+        "acc_fine": None,
+        "depth_fine": None,
+    }
+
+    if settings.num_fine > 0:
+        if model_fine is None or params_fine is None:
+            raise ValueError("num_fine > 0 requires a fine model")
+        # ---- hierarchical resample ----------------------------------------
+        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        z_samples = sample_pdf(
+            k_pdf,
+            z_mid,
+            weights[..., 1:-1],
+            settings.num_fine,
+            det=(not settings.perturb),
+        )
+        z_all = merge_sorted_zvals(z_vals, z_samples)
+        pts_fine = ro[..., None, :] + rd[..., None, :] * z_all[..., :, None]
+        pe_xyz_fine = settings.encode_xyz(pts_fine)
+
+        radiance_fine = model_fine.apply(
+            params_fine, pe_xyz_fine, pe_dir,
+            expressions if model_fine.takes_expression else None,
+            latent_code if model_fine.takes_latent else None,
+            dtype=dtype,
+        )
+        radiance_fine = inject_background(radiance_fine, background_prior)
+
+        rgb_fine, disp_fine, acc_fine, weights, depth_fine = (
+            volume_render_radiance_field(
+                radiance_fine,
+                z_all,
+                rd,
+                radiance_field_noise_std=settings.radiance_field_noise_std,
+                white_background=settings.white_background,
+                background_prior=background_prior,
+                noise_key=k_noise_f,
+                return_depth=True,
+            )
+        )
+        out.update(
+            rgb_fine=rgb_fine, disp_fine=disp_fine, acc_fine=acc_fine,
+            depth_fine=depth_fine,
+        )
+
+    # Reference: final return value is weights[:, -1] of the *last* rendered
+    # pass (`train_utils.py:150,162`) = background-sample weight per ray.
+    out["weights"] = weights
+    out["bg_weight"] = weights[..., -1]
+    return out
+
+
+def run_one_iter_of_nerf(
+    height: int,
+    width: int,
+    model_coarse,
+    model_fine,
+    params_coarse,
+    params_fine,
+    ray_origins: jnp.ndarray,
+    ray_directions: jnp.ndarray,
+    settings: RenderSettings,
+    key: Optional[jax.Array] = None,
+    expressions: Optional[jnp.ndarray] = None,
+    background_prior: Optional[jnp.ndarray] = None,
+    latent_code: Optional[jnp.ndarray] = None,
+    ray_directions_ablation: Optional[jnp.ndarray] = None,
+    mode: str = "train",
+    dtype=None,
+) -> Tuple:
+    """API-compatible wrapper returning the reference's 7-tuple
+    (rgb_coarse, disp_coarse, acc_coarse, rgb_fine, disp_fine, acc_fine,
+    bg_weight), image-shaped in validation mode (`train_utils.py:270-290`).
+
+    `height`/`width` shape the validation restore; ray tensors may be
+    (H, W, 3) or flat (R, 3).
+    """
+    img_shape = ray_directions.shape[:-1]
+    out = render_rays(
+        model_coarse,
+        model_fine,
+        params_coarse,
+        params_fine,
+        ray_origins.reshape(-1, 3),
+        ray_directions.reshape(-1, 3),
+        settings,
+        key=key,
+        expressions=expressions,
+        latent_code=latent_code,
+        background_prior=(
+            background_prior.reshape(-1, 3) if background_prior is not None else None
+        ),
+        ray_directions_ablation=(
+            ray_directions_ablation.reshape(-1, 3)
+            if ray_directions_ablation is not None
+            else None
+        ),
+        dtype=dtype,
+    )
+    results = [
+        out["rgb_coarse"], out["disp_coarse"], out["acc_coarse"],
+        out["rgb_fine"], out["disp_fine"], out["acc_fine"], out["bg_weight"],
+    ]
+    if mode == "validation":
+        shapes = [
+            img_shape + (3,), img_shape, img_shape,
+            img_shape + (3,), img_shape, img_shape, img_shape,
+        ]
+        results = [
+            r.reshape(s) if r is not None else None for r, s in zip(results, shapes)
+        ]
+    return tuple(results)
