@@ -1,0 +1,191 @@
+"""The jitted training step.
+
+Everything between the reference's `run_one_iter_of_nerf` call and
+`optimizer.step()` (`train_transformed_rays.py:336-400`) — forward render,
+losses, backward, Adam update, LR schedule — compiled into one XLA program
+with device-side RNG. Loss semantics reproduced exactly:
+
+* coarse MSE + fine MSE against target RGB (:355-362,382);
+* latent regularizer ‖code‖·0.0005, added ×10 when enabled (:370-372,386);
+* optional supervised background loss: per-ray squared-error summed over
+  RGB, weighted by the fine background weight, mean ×0.001 (:375-380);
+* PSNR computed from (coarse+fine) MSE *before* regularizers (:383).
+
+Data-parallel scale-out: `make_train_step(..., mesh=...)` shards the ray
+axis of each batch across devices with shard_map; parameter/optimizer
+state is replicated and gradients are psum'd over the mesh — XLA emits the
+all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nerface_tpu.config.flags import FeatureFlags
+from nerface_tpu.ops.math import mse2psnr_jnp
+from nerface_tpu.ops.safe import safe_norm
+from nerface_tpu.render.pipeline import RenderSettings, render_rays
+from nerface_tpu.train.state import TrainState
+
+
+def _compute_losses(
+    params: Dict[str, Any],
+    batch: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    model_coarse,
+    model_fine,
+    settings: RenderSettings,
+    flags: FeatureFlags,
+    fixed_background: Optional[jnp.ndarray],
+    dtype=None,
+):
+    expression = batch["expression"]
+    if flags.disable_expressions:
+        expression = jnp.zeros_like(expression)
+
+    latent_code = None
+    if flags.train_latent_codes and not flags.disable_latent_codes:
+        latent_code = params["latent_codes"][batch["latent_index"]]
+    elif flags.disable_latent_codes:
+        latent_code = jnp.zeros((32,), jnp.float32)
+
+    background_prior = None
+    if flags.train_background and params["background"] is not None:
+        bg_flat = params["background"].reshape(-1, 3)
+        background_prior = bg_flat[batch["pixel_indices"]]
+    elif flags.fixed_background:
+        if "background_rgb" in batch:
+            background_prior = batch["background_rgb"]
+        elif fixed_background is not None:
+            bg_flat = fixed_background.reshape(-1, 3)
+            background_prior = bg_flat[batch["pixel_indices"]]
+
+    out = render_rays(
+        model_coarse,
+        model_fine,
+        params["coarse"],
+        params["fine"],
+        batch["ray_origins"],
+        batch["ray_directions"],
+        settings,
+        key=key,
+        expressions=expression,
+        latent_code=latent_code,
+        background_prior=background_prior,
+        dtype=dtype,
+    )
+
+    target = batch["target_rgb"][..., :3]
+    coarse_loss = jnp.mean((out["rgb_coarse"][..., :3] - target) ** 2)
+    fine_loss = (
+        jnp.mean((out["rgb_fine"][..., :3] - target) ** 2)
+        if out["rgb_fine"] is not None
+        else None
+    )
+    loss = coarse_loss + (fine_loss if fine_loss is not None else 0.0)
+    psnr = mse2psnr_jnp(loss)
+
+    latent_code_loss = jnp.zeros(())
+    if flags.train_latent_codes and not flags.disable_latent_codes:
+        # safe_norm: torch's subgradient-0-at-origin convention — the codes
+        # start at exactly zero (`train_transformed_rays.py:181-186`).
+        latent_code_loss = safe_norm(latent_code) * 0.0005
+
+    background_loss = jnp.zeros(())
+    if flags.supervised_train_background and background_prior is not None:
+        per_ray = jnp.sum((background_prior[..., :3] - target) ** 2, axis=-1)
+        background_loss = jnp.mean(per_ray * out["bg_weight"]) * 0.001
+
+    total = loss
+    if flags.regularize_latent_codes:
+        total = total + latent_code_loss * 10.0
+    if flags.supervised_train_background:
+        total = total + background_loss
+
+    metrics = {
+        "loss": loss,
+        "coarse_loss": coarse_loss,
+        "fine_loss": fine_loss if fine_loss is not None else jnp.zeros(()),
+        "psnr": psnr,
+        "latent_code_loss": latent_code_loss,
+        "background_loss": background_loss,
+    }
+    return total, metrics
+
+
+def make_train_step(
+    model_coarse,
+    model_fine,
+    settings: RenderSettings,
+    flags: FeatureFlags,
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    data_axis: str = "data",
+    dtype=None,
+    donate: bool = True,
+):
+    """Build the jitted `step(state, batch, key) -> (state, metrics)`.
+
+    With a mesh, the batch's ray axis is sharded over `data_axis`
+    (parameters replicated, gradients psum'd); without one, single-device.
+    """
+
+    def loss_fn(params, batch, key, fixed_background):
+        return _compute_losses(
+            params, batch, key, model_coarse, model_fine, settings, flags,
+            fixed_background, dtype=dtype,
+        )
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], key: jax.Array):
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            from jax import shard_map
+
+            ray_keys = {
+                "ray_origins", "ray_directions", "target_rgb",
+                "background_rgb", "pixel_indices",
+            }
+            in_specs = (
+                {k: P(data_axis) if k in ray_keys else P() for k in batch},
+            )
+
+            def sharded_grads(b):
+                (total, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params, b, key, state.fixed_background)
+                grads = jax.lax.pmean(grads, data_axis)
+                metrics = jax.lax.pmean(metrics, data_axis)
+                total = jax.lax.pmean(total, data_axis)
+                return total, metrics, grads
+
+            total, metrics, grads = shard_map(
+                sharded_grads,
+                mesh=mesh,
+                in_specs=in_specs,
+                out_specs=(P(), P(), P()),
+                check_rep=False,
+            )(batch)
+        else:
+            (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, key, state.fixed_background
+            )
+
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            fixed_background=state.fixed_background,
+        )
+        metrics["total_loss"] = total
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
