@@ -168,7 +168,7 @@ def make_train_step(
                 mesh=mesh,
                 in_specs=in_specs,
                 out_specs=(P(), P(), P()),
-                check_rep=False,
+                check_vma=False,
             )(batch)
         else:
             (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
