@@ -89,6 +89,7 @@ class RayFeed:
             "expression": ds.expressions[img_idx],
             "latent_index": np.int32(img_idx),
             "frame_index": np.int32(img_idx),
+            "pixel_indices": sel.astype(np.int32),
         }
         if self._background_flat is not None:
             batch["background_rgb"] = self._background_flat[sel, :3].astype(np.float32)

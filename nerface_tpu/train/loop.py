@@ -1,0 +1,275 @@
+"""The training loop — equivalent of `train_transformed_rays.py:24-575`.
+
+Host side: config/data load, model build, background/latent setup, the
+prefetching ray feed, periodic validation renders, TensorBoard scalars and
+checkpoints.  Device side: one jitted step (train/step.py), optionally
+shard_map'd over a data mesh.  Resume works from both native (orbax) and
+reference torch checkpoints.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerface_tpu.config import CfgNode, FeatureFlags, load_config
+from nerface_tpu.data import RayFeed, load_flame_data
+from nerface_tpu.data.flame import FlameDataset
+from nerface_tpu.models import build_model
+from nerface_tpu.ops.math import mse2psnr
+from nerface_tpu.render.pipeline import RenderSettings
+from nerface_tpu.train import checkpoint as ckpt_lib
+from nerface_tpu.train.state import TrainState, create_train_state
+from nerface_tpu.train.step import make_train_step
+from nerface_tpu.utils.tb import ScalarWriter
+
+
+def build_models_from_cfg(cfg):
+    """Coarse + (optional) fine model, reproducing the reference's
+    constructor quirks (fine model gets the *coarse* num_layers/hidden_size;
+    skip_connect_every is never forwarded) —
+    `train_transformed_rays.py:100-124`."""
+    model_coarse = build_model(cfg.models.coarse)
+    model_fine = None
+    if "fine" in cfg.models:
+        model_fine = build_model(
+            cfg.models.fine,
+            num_layers=cfg.models.coarse.num_layers,
+            hidden_size=cfg.models.coarse.hidden_size,
+        )
+    return model_coarse, model_fine
+
+
+def setup_background(
+    dataset: FlameDataset, flags: FeatureFlags
+) -> Optional[np.ndarray]:
+    """Fixed background: GT `bg/00050.png`. Trainable background: mean of
+    train frames, optionally blurred (`train_transformed_rays.py:143-170`)."""
+    if flags.train_background:
+        avg = dataset.images[dataset.i_train].mean(axis=0)
+        if flags.blur_background:
+            from nerface_tpu.utils.smoothing import gaussian_smooth
+
+            avg = np.asarray(gaussian_smooth(jnp.asarray(avg), 11, 11.0))
+        return avg.astype(np.float32)
+    if flags.fixed_background:
+        bg = dataset.load_background()
+        assert bg.shape == dataset.images[dataset.i_train][0].shape, (
+            bg.shape, dataset.images.shape)
+        return bg
+    return None
+
+
+def validate(
+    cfg,
+    dataset: FlameDataset,
+    model_coarse,
+    model_fine,
+    state: TrainState,
+    background: Optional[np.ndarray],
+    flags: FeatureFlags,
+    writer: Optional[ScalarWriter],
+    step: int,
+    num_frames: int = 2,
+    dtype=None,
+) -> Dict[str, float]:
+    """Full-frame validation renders (`train_transformed_rays.py:427-549`).
+
+    Reference quirks kept: only the first `num_frames`(=2) val frames are
+    rendered but the summed loss divides by len(i_val) (:463,516); the
+    latent code used for validation is zeros (:502).
+    """
+    from nerface_tpu.eval.renderer import render_full_frame
+
+    settings = RenderSettings.from_cfg(cfg, mode="validation")
+    use_bg = flags.train_background or flags.fixed_background
+    bg = None
+    if use_bg:
+        bg_src = (
+            state.params["background"]
+            if state.params.get("background") is not None
+            else (state.fixed_background if state.fixed_background is not None else background)
+        )
+        bg = jnp.asarray(bg_src)
+
+    latent = (
+        jnp.zeros(32) if (flags.train_latent_codes or flags.disable_latent_codes) else None
+    )
+    total_loss = 0.0
+    coarse_loss = fine_loss = 0.0
+    last = None
+    t0 = time.time()
+    for img_idx in dataset.i_val[:num_frames]:
+        expr = jnp.asarray(dataset.expressions[img_idx])
+        if flags.disable_expressions:
+            expr = jnp.zeros_like(expr)
+        out = render_full_frame(
+            model_coarse, model_fine,
+            state.params["coarse"], state.params.get("fine"),
+            dataset.H, dataset.W, dataset.intrinsics,
+            dataset.poses[img_idx][:3, :4],
+            settings,
+            key=jax.random.PRNGKey(int(step)),
+            expressions=expr,
+            latent_code=latent,
+            background=bg,
+            dtype=dtype,
+        )
+        target = dataset.images[img_idx][..., :3]
+        coarse_loss = float(np.mean((np.asarray(out["rgb_coarse"]) - target) ** 2))
+        if "rgb_fine" in out:
+            fine_loss = float(np.mean((np.asarray(out["rgb_fine"]) - target) ** 2))
+            total_loss += fine_loss + fine_loss  # curr_loss + curr_fine_loss (:514)
+        else:
+            total_loss += coarse_loss
+        last = (out, target)
+
+    n_val = max(len(dataset.i_val), 1)
+    loss = total_loss / n_val
+    psnr = mse2psnr(loss)
+    metrics = {"loss": loss, "psnr": psnr, "coarse_loss": coarse_loss,
+               "fine_loss": fine_loss, "time": time.time() - t0}
+    if writer is not None and last is not None:
+        out, target = last
+        writer.scalar("validation/loss", loss, step)
+        writer.scalar("validation/coarse_loss", coarse_loss, step)
+        writer.scalar("validation/psnr", psnr, step)
+        writer.image("validation/rgb_coarse", np.asarray(out["rgb_coarse"]), step)
+        if "rgb_fine" in out:
+            writer.scalar("validation/fine_loss", fine_loss, step)
+            writer.image("validation/rgb_fine", np.asarray(out["rgb_fine"]), step)
+        writer.image("validation/img_target", target, step)
+        if bg is not None:
+            writer.image("validation/background", np.asarray(bg), step)
+            writer.image(
+                "validation/weights", np.asarray(out["bg_weight"]), step,
+                dataformats="HW",
+            )
+    return metrics
+
+
+def train(
+    cfg: CfgNode,
+    load_checkpoint: str = "",
+    max_iters: Optional[int] = None,
+    dataset: Optional[FlameDataset] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    log: bool = True,
+    export_torch: bool = False,
+    dtype=None,
+) -> TrainState:
+    """Run training per the config; returns the final TrainState."""
+    flags = FeatureFlags.from_cfg(cfg)
+
+    if dataset is None:
+        dataset = load_flame_data(
+            cfg.dataset.basedir,
+            half_res=cfg.dataset.half_res,
+            testskip=cfg.dataset.testskip,
+        )
+
+    seed = int(cfg.experiment.randomseed)
+    np.random.seed(seed)
+
+    model_coarse, model_fine = build_models_from_cfg(cfg)
+    background = setup_background(dataset, flags)
+
+    state, optimizer = create_train_state(
+        jax.random.PRNGKey(seed), model_coarse, model_fine, cfg, flags,
+        n_train=len(dataset.i_train),
+        background=jnp.asarray(background) if background is not None else None,
+    )
+
+    logdir = os.path.join(str(cfg.experiment.logdir), str(cfg.experiment.id))
+    writer = ScalarWriter(logdir, cfg=cfg, enabled=log)
+
+    # Resume: native orbax dir or reference torch .ckpt file.
+    if load_checkpoint:
+        if os.path.isdir(load_checkpoint):
+            state = ckpt_lib.load_checkpoint(load_checkpoint, state)
+        elif os.path.isfile(load_checkpoint):
+            state = ckpt_lib.import_torch_weights(
+                state, ckpt_lib.load_torch_checkpoint(load_checkpoint)
+            )
+
+    settings = RenderSettings.from_cfg(cfg, mode="train")
+    step_fn = make_train_step(
+        model_coarse, model_fine, settings, flags, optimizer, mesh=mesh, dtype=dtype
+    )
+
+    feed = RayFeed(
+        dataset,
+        num_rays=int(cfg.nerf.train.num_random_rays),
+        background=background if flags.fixed_background else None,
+        seed=seed,
+    ).start()
+
+    train_iters = int(max_iters if max_iters is not None else cfg.experiment.train_iters)
+    validate_every = int(cfg.experiment.validate_every)
+    save_every = int(cfg.experiment.save_every)
+    print_every = int(cfg.experiment.print_every)
+
+    key = jax.random.PRNGKey(seed)
+    start_iter = int(state.step)
+    t_start = time.time()
+    rays_per_step = int(cfg.nerf.train.num_random_rays)
+    metrics = {}
+    try:
+        for i in range(start_iter, train_iters):
+            batch = next(feed)
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(state, batch, sub)
+
+            if i % print_every == 0 or i == train_iters - 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                elapsed = time.time() - t_start
+                rays_s = rays_per_step * (i - start_iter + 1) / max(elapsed, 1e-9)
+                print(
+                    f"[TRAIN] Iter: {i} Loss: {m['total_loss']:.6f} "
+                    f"BG Loss: {m['background_loss']:.6f} PSNR: {m['psnr']:.3f} "
+                    f"LatentReg: {m['latent_code_loss']:.6f} "
+                    f"rays/s: {rays_s:,.0f}"
+                )
+                writer.scalar("train/coarse_loss", m["coarse_loss"], i)
+                writer.scalar("train/fine_loss", m["fine_loss"], i)
+                writer.scalar("train/psnr", m["psnr"], i)
+                writer.scalar("train/rays_per_sec", rays_s, i)
+                if flags.train_latent_codes:
+                    writer.scalar("train/code_loss", m["latent_code_loss"], i)
+                if flags.supervised_train_background:
+                    writer.scalar("train/bg_loss", m["background_loss"], i)
+
+            if validate_every > 0 and i % validate_every == 0 and len(dataset.i_val):
+                vm = validate(
+                    cfg, dataset, model_coarse, model_fine, state, background,
+                    flags, writer, i, dtype=dtype,
+                )
+                print(
+                    f"[VAL] Iter: {i} loss: {vm['loss']:.6f} "
+                    f"PSNR: {vm['psnr']:.3f} time: {vm['time']:.2f}s"
+                )
+
+            if save_every > 0 and (i % save_every == 0 or i == train_iters - 1):
+                path = ckpt_lib.save_checkpoint(
+                    logdir, state, {k: float(v) for k, v in metrics.items()}
+                )
+                if export_torch:
+                    ckpt_lib.export_torch_checkpoint(
+                        os.path.join(logdir, f"checkpoint{int(state.step):05d}.ckpt"),
+                        state,
+                        loss=float(metrics.get("total_loss", 0.0)),
+                        psnr=float(metrics.get("psnr", 0.0)),
+                    )
+    finally:
+        feed.stop()
+        writer.close()
+    return state
+
+
+def train_from_config_file(config_path: str, **kwargs) -> TrainState:
+    return train(load_config(config_path), **kwargs)
