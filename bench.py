@@ -1,0 +1,97 @@
+"""Headline benchmark: training-step throughput (rays/sec) on the flagship
+NeRFace paper model at the reference's exact workload — 2048 rays/step,
+64 coarse + 64 fine samples/ray, PE(10 xyz / 4 dir), 76-dim expression,
+32-dim latent code, fixed-background compositing
+(`config/dave/dave_dvp_lcode_fixed_bg_512_paper_model.yml:134,142-144,160-162`).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline denominator: the reference records no throughput (SURVEY.md §6);
+we pin the PyTorch-1-GPU estimate at 10,000 rays/s (≈5 steps/s × 2048 rays
+for nerf-pytorch-class code on a 2021 single GPU, the reference's stated
+hardware, README.md:39). BASELINE.json's target is ≥20× → vs_baseline ≥ 20.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_RAYS_PER_SEC = 10_000.0
+NUM_RAYS = 2048
+WARMUP = 5
+STEPS = 100
+
+
+def main():
+    from nerface_tpu.config import CfgNode, FeatureFlags
+    from nerface_tpu.models import MODELS
+    from nerface_tpu.render.pipeline import EncodeSpec, RenderSettings
+    from nerface_tpu.train.state import create_train_state
+    from nerface_tpu.train.step import make_train_step
+
+    model = MODELS["ConditionalBlendshapePaperNeRFModel"](
+        num_encoding_fn_xyz=10, num_encoding_fn_dir=4
+    )
+    cfg = CfgNode({
+        "optimizer": {"type": "Adam", "lr": 5e-4},
+        "scheduler": {"lr_decay": 250, "lr_decay_factor": 0.1},
+    })
+    flags = FeatureFlags()
+    settings = RenderSettings(
+        num_coarse=64, num_fine=64, perturb=True,
+        radiance_field_noise_std=0.1, near=0.2, far=0.8,
+        encode_xyz=EncodeSpec(10, True, True),
+        encode_dir=EncodeSpec(4, False, True),
+    )
+    state, opt = create_train_state(
+        jax.random.PRNGKey(0), model, model, cfg, flags, n_train=16,
+        background=jnp.zeros((512, 512, 3)),
+    )
+    step = make_train_step(model, model, settings, flags, opt)
+
+    rng = np.random.RandomState(0)
+    rd = rng.randn(NUM_RAYS, 3).astype(np.float32)
+    rd[:, 2] = -np.abs(rd[:, 2]) - 0.5
+    batch = {
+        "ray_origins": jnp.zeros((NUM_RAYS, 3), jnp.float32),
+        "ray_directions": jnp.asarray(rd),
+        "target_rgb": jnp.asarray(rng.rand(NUM_RAYS, 3).astype(np.float32)),
+        "background_rgb": jnp.asarray(rng.rand(NUM_RAYS, 3).astype(np.float32)),
+        "expression": jnp.asarray(rng.randn(76).astype(np.float32) * 0.1),
+        "latent_index": jnp.asarray(0, jnp.int32),
+    }
+    batch = jax.device_put(batch)
+    key = jax.random.PRNGKey(1)
+
+    for _ in range(WARMUP):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, sub)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, sub)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = NUM_RAYS * STEPS / dt
+    print(
+        f"[bench] device={jax.devices()[0].platform} steps={STEPS} "
+        f"dt={dt:.3f}s loss={float(metrics['total_loss']):.5f}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "train_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
