@@ -1,0 +1,69 @@
+"""Train CLI — equivalent of `train_transformed_rays.py:26-36` arg surface.
+
+Extra (TPU-only) options: --num-devices to train data-parallel over a
+device mesh, --bf16 for a bfloat16 compute path, --export-torch to also
+write reference-schema torch checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--config", type=str, required=True, help="Path to (.yml) config file."
+    )
+    parser.add_argument(
+        "--load-checkpoint",
+        type=str,
+        default="",
+        help="Path to load saved checkpoint from (orbax dir or torch .ckpt).",
+    )
+    parser.add_argument(
+        "--max-iters", type=int, default=None,
+        help="Override cfg.experiment.train_iters.",
+    )
+    parser.add_argument(
+        "--num-devices", type=int, default=0,
+        help="Data-parallel over this many devices (0 = single device).",
+    )
+    parser.add_argument(
+        "--bf16", action="store_true", help="bfloat16 compute (fp32 params)."
+    )
+    parser.add_argument(
+        "--export-torch", action="store_true",
+        help="Also write reference-schema torch .ckpt files.",
+    )
+    return parser
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerface_tpu.config import load_config
+    from nerface_tpu.train.loop import train
+
+    mesh = None
+    if args.num_devices and args.num_devices > 1:
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()[: args.num_devices]), ("data",))
+
+    train(
+        load_config(args.config),
+        load_checkpoint=args.load_checkpoint,
+        max_iters=args.max_iters,
+        mesh=mesh,
+        export_torch=args.export_torch,
+        dtype=jnp.bfloat16 if args.bf16 else None,
+    )
+
+
+if __name__ == "__main__":
+    main()
