@@ -1,0 +1,74 @@
+"""Dataset-builder CLI — equivalent of `real_to_nerf.py:1490-1519` arg
+surface, plus a --mode switch for the entry points the reference toggles by
+editing source (:1505-1508).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--source", type=str, required=True,
+                        help="tracker output dir (images/, intrinsics.txt, "
+                             "rigid.txt, expression.txt)")
+    parser.add_argument("--target", type=str, required=True,
+                        help="output dataset dir")
+    parser.add_argument("--driving", type=str, default=None,
+                        help="tracker dir of the DRIVING actor "
+                             "(expressions + rotations) for --mode driven")
+    parser.add_argument("--LESS_DATA", type=float, default=0.0, dest="less_data",
+                        help="fraction of train frames to keep (0 = all)")
+    parser.add_argument("--mode", type=str, default="train",
+                        choices=["train", "original", "custom", "driven"],
+                        help="train: build train/val splits; original/custom/"
+                             "driven: generate a test sequence")
+    parser.add_argument("--n-max", type=int, default=1000,
+                        help="cap test-sequence length (reference uses 1000)")
+    parser.add_argument("--reserve-test", type=int, default=1000,
+                        help="reserve the last N frames for test "
+                             "(the reference's DVP_PARTITION)")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="mean-face .off mesh for head-bbox detection "
+                             "(e.g. the reference's average.off)")
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--neutral-driving-idx", type=int, default=None)
+    parser.add_argument("--neutral-target-idx", type=int, default=None)
+    return parser
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    from nerface_tpu.tools.dataset_builder import (
+        BuilderConfig,
+        build_dataset,
+        generate_custom_test_sequence,
+        generate_driven_test_sequence,
+        generate_original_test_sequence,
+    )
+
+    cfg = BuilderConfig(
+        source=args.source,
+        target=args.target,
+        driving=args.driving,
+        less_data=args.less_data,
+        reserve_test=args.reserve_test,
+        mesh_path=args.mesh,
+        seed=args.seed,
+        neutral_driving_idx=args.neutral_driving_idx,
+        neutral_target_idx=args.neutral_target_idx,
+    )
+    if args.mode == "train":
+        build_dataset(cfg)
+    elif args.mode == "original":
+        generate_original_test_sequence(cfg, args.n_max)
+    elif args.mode == "custom":
+        generate_custom_test_sequence(cfg, args.n_max)
+    elif args.mode == "driven":
+        generate_driven_test_sequence(cfg, args.n_max)
+    print("Done.")
+
+
+if __name__ == "__main__":
+    main()
