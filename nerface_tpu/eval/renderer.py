@@ -48,6 +48,16 @@ def _render_frame_jit(
     dtype,
 ) -> Dict[str, Any]:
     ro, rd = get_ray_bundle(height, width, intrinsics, pose)
+    if not settings.no_ndc:
+        # LLFF path: project to NDC, near/far -> 0/1 (`train_utils.py:198-207`)
+        import dataclasses
+
+        from nerface_tpu.ops.rays import ndc_rays
+
+        ro, rd = ndc_rays(
+            height, width, intrinsics[:2], 1.0, ro.reshape(-1, 3), rd.reshape(-1, 3)
+        )
+        settings = dataclasses.replace(settings, no_ndc=True, near=0.0, far=1.0)
     n = height * width
     n_pad = _round_up(n, tile)
     pad = n_pad - n

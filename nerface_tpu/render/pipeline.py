@@ -275,15 +275,26 @@ def run_one_iter_of_nerf(
     ray_directions_ablation: Optional[jnp.ndarray] = None,
     mode: str = "train",
     dtype=None,
+    focal=None,
 ) -> Tuple:
     """API-compatible wrapper returning the reference's 7-tuple
     (rgb_coarse, disp_coarse, acc_coarse, rgb_fine, disp_fine, acc_fine,
     bg_weight), image-shaped in validation mode (`train_utils.py:270-290`).
 
     `height`/`width` shape the validation restore; ray tensors may be
-    (H, W, 3) or flat (R, 3).
+    (H, W, 3) or flat (R, 3). With `settings.no_ndc=False` (LLFF), rays are
+    projected to NDC and near/far become 0/1 (`train_utils.py:198-207`) —
+    `focal` is required then.
     """
     img_shape = ray_directions.shape[:-1]
+    if not settings.no_ndc:
+        if focal is None:
+            raise ValueError("NDC rendering requires `focal`")
+        ray_origins, ray_directions = ndc_rays(
+            height, width, focal, 1.0,
+            ray_origins.reshape(-1, 3), ray_directions.reshape(-1, 3),
+        )
+        settings = dataclasses.replace(settings, no_ndc=True, near=0.0, far=1.0)
     out = render_rays(
         model_coarse,
         model_fine,
