@@ -46,12 +46,13 @@ def main():
         radiance_field_noise_std=0.1, near=0.2, far=0.8,
         encode_xyz=EncodeSpec(10, True, True),
         encode_dir=EncodeSpec(4, False, True),
+        fused="on",  # fused Pallas MLP, bf16 MXU / f32 params+accum
     )
     state, opt = create_train_state(
         jax.random.PRNGKey(0), model, model, cfg, flags, n_train=16,
         background=jnp.zeros((512, 512, 3)),
     )
-    step = make_train_step(model, model, settings, flags, opt)
+    step = make_train_step(model, model, settings, flags, opt, dtype=jnp.bfloat16)
 
     rng = np.random.RandomState(0)
     rd = rng.randn(NUM_RAYS, 3).astype(np.float32)
@@ -70,13 +71,16 @@ def main():
     for _ in range(WARMUP):
         key, sub = jax.random.split(key)
         state, metrics = step(state, batch, sub)
-    jax.block_until_ready(state.params)
+    # NOTE: sync via a host read — on the tunneled `axon` platform
+    # jax.block_until_ready returns before execution completes, which
+    # silently turns the benchmark into a dispatch-rate measurement.
+    float(metrics["total_loss"])
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
         key, sub = jax.random.split(key)
         state, metrics = step(state, batch, sub)
-    jax.block_until_ready(state.params)
+    float(metrics["total_loss"])
     dt = time.perf_counter() - t0
 
     rays_per_sec = NUM_RAYS * STEPS / dt

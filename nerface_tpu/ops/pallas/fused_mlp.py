@@ -1,0 +1,443 @@
+"""Fused Pallas kernel for the NeRFace paper-model MLP.
+
+The radiance-field MLP (reference `models.py:189-261`) is the framework's
+hot loop: each train step evaluates it over ~400k samples, each 512² eval
+frame over ~34M. Under plain XLA every layer's (S, 256) activation round-
+trips HBM between matmuls; this kernel keeps ALL weights (~1.1 MB bf16) and
+the per-tile activations resident in VMEM and evaluates the whole network —
+trunk with concat-skip, σ head, view-direction branch — in one pass per
+sample tile. bf16 on the MXU with f32 accumulation; parameters stay f32
+outside.
+
+The per-frame conditioning (expression ⊕ latent code) and biases of the
+layers they feed are pre-folded into two (256,) vectors (`cond0`, `cond3`)
+on the JAX side — see `models/mlp.py` — and the per-ray view-direction
+contribution enters as a precomputed (R, 128) vector added after the
+fc_feat → layers_dir.0 matmul, so the kernel's sample inputs are just the
+(R, S, 63) positional encoding.
+
+Backward is a custom VJP: a second kernel recomputes the forward per tile
+(flash-style) and accumulates weight/bias/conditioning gradients in f32
+VMEM across the sequential TPU grid (constant out index_map + accumulate).
+Gradients for the conditioning vectors and dir contribution chain back to
+the latent-code table / full weight matrices through the JAX-side folds.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # pallas import can fail on exotic backends; gate cleanly
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+HIDDEN = 256
+DIR_HIDDEN = 128
+# Weight order shared by fwd/bwd: name -> logical (in, out) shape factory.
+WEIGHT_NAMES = (
+    "w0", "w1", "w2", "w3x", "w3h", "w4", "w5", "wf", "wa",
+    "wd0", "wd1", "wd2", "wrgb",
+)
+BIAS_NAMES = ("b1", "b2", "b4", "b5", "bf", "ba", "bd0", "bd1", "bd2", "brgb")
+
+
+def fused_paper_mlp_available(num_rays: int, rays_per_tile: int) -> bool:
+    if not _PALLAS_OK:
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return rays_per_tile >= 8 and num_rays % rays_per_tile == 0
+
+
+def _interpret() -> bool:
+    """Interpreter mode on non-TPU backends (CPU tests, virtual meshes)."""
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _dot(a, b):
+    """bf16 MXU matmul with f32 accumulation."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16),
+        b,
+        (((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _trunk_forward(pe, dir_c, cond0, cond3, W, n_rays, n_samples):
+    """Shared fwd math. pe: (TILE, D_pe) f32; dir_c: (TR, 128);
+    cond0/cond3: (1, 256). W: dict of bf16 (in, out) weights + f32 biases.
+    Returns every activation needed by the backward pass."""
+    tile = pe.shape[0]
+    h0 = jax.nn.relu(_dot(pe, W["w0"]) + cond0)
+    h1 = jax.nn.relu(_dot(h0, W["w1"]) + W["b1"])
+    h2 = jax.nn.relu(_dot(h1, W["w2"]) + W["b2"])
+    h3 = jax.nn.relu(_dot(pe, W["w3x"]) + _dot(h2, W["w3h"]) + cond3)
+    h4 = jax.nn.relu(_dot(h3, W["w4"]) + W["b4"])
+    h5 = jax.nn.relu(_dot(h4, W["w5"]) + W["b5"])
+    feat = _dot(h5, W["wf"]) + W["bf"]
+    alpha = _dot(feat, W["wa"]) + W["ba"]
+    hd_pre = _dot(feat, W["wd0"]) + W["bd0"]
+    hd_pre = (
+        hd_pre.reshape(n_rays, n_samples, DIR_HIDDEN) + dir_c[:, None, :]
+    ).reshape(tile, DIR_HIDDEN)
+    x0 = jax.nn.relu(hd_pre)
+    x1 = jax.nn.relu(_dot(x0, W["wd1"]) + W["bd1"])
+    x2 = jax.nn.relu(_dot(x1, W["wd2"]) + W["bd2"])
+    rgb = _dot(x2, W["wrgb"]) + W["brgb"]
+    # Activations saved for backward in bf16: they are only consumed as
+    # bf16 dot operands and (> 0) relu masks, and it halves VMEM pressure.
+    bf = jnp.bfloat16
+    acts = dict(
+        h0=h0.astype(bf), h1=h1.astype(bf), h2=h2.astype(bf),
+        h3=h3.astype(bf), h4=h4.astype(bf), h5=h5.astype(bf),
+        feat=feat.astype(bf), hd_pre=hd_pre.astype(bf),
+        x0=x0.astype(bf), x1=x1.astype(bf), x2=x2.astype(bf),
+    )
+    return rgb, alpha, acts
+
+
+def _unpack_weight_refs(refs):
+    """Kernel refs -> dict. Weights bf16 as-is; biases f32 rows."""
+    W = {}
+    i = 0
+    for name in WEIGHT_NAMES:
+        W[name] = refs[i][:]
+        i += 1
+    for name in BIAS_NAMES:
+        W[name] = refs[i][:]
+        i += 1
+    return W, i
+
+
+def _fwd_kernel(n_rays, n_samples, *refs):
+    pe_ref, dir_ref, cond0_ref, cond3_ref = refs[:4]
+    W, used = _unpack_weight_refs(refs[4:])
+    out_ref = refs[4 + used]
+
+    tile = n_rays * n_samples
+    pe = pe_ref[:].reshape(tile, pe_ref.shape[-1])
+    rgb, alpha, _ = _trunk_forward(
+        pe, dir_ref[:], cond0_ref[:], cond3_ref[:], W, n_rays, n_samples
+    )
+    out = jnp.concatenate([rgb, alpha], axis=-1)
+    out_ref[:] = out.reshape(n_rays, n_samples, 4)
+
+
+def _bwd_kernel(n_rays, n_samples, *refs):
+    pe_ref, dir_ref, cond0_ref, cond3_ref = refs[:4]
+    W, used = _unpack_weight_refs(refs[4:])
+    g_ref = refs[4 + used]
+    outs = refs[5 + used:]
+    # Output order: dW per WEIGHT_NAMES, db per BIAS_NAMES, dcond0, dcond3,
+    # ddir (per-tile block).
+    d_w = {name: outs[i] for i, name in enumerate(WEIGHT_NAMES)}
+    nw = len(WEIGHT_NAMES)
+    d_b = {name: outs[nw + i] for i, name in enumerate(BIAS_NAMES)}
+    nb = nw + len(BIAS_NAMES)
+    d_cond0_ref, d_cond3_ref, d_dir_ref = outs[nb], outs[nb + 1], outs[nb + 2]
+
+    tile = n_rays * n_samples
+    pe = pe_ref[:].reshape(tile, pe_ref.shape[-1])
+    rgb, alpha, a = _trunk_forward(
+        pe, dir_ref[:], cond0_ref[:], cond3_ref[:], W, n_rays, n_samples
+    )
+
+    g = g_ref[:].reshape(tile, 4)
+    g_rgb = g[:, :3]
+    g_alpha = g[:, 3:4]
+
+    def dot_t_acc(x, gy):
+        # dW = x^T @ gy, bf16 operands, f32 accumulation
+        return jax.lax.dot_general(
+            x.astype(jnp.bfloat16),
+            gy.astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def m(x):
+        # relu mask in f32 — Mosaic cannot lower bf16 cmpf
+        return x.astype(jnp.float32) > 0
+
+    def dot_bt(gy, w):
+        # dx = gy @ W^T
+        return jax.lax.dot_general(
+            gy.astype(jnp.bfloat16),
+            w,
+            (((gy.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    grads_w = {}
+    grads_b = {}
+
+    # rgb head
+    grads_w["wrgb"] = dot_t_acc(a["x2"], g_rgb)
+    grads_b["brgb"] = jnp.sum(g_rgb, axis=0, keepdims=True)
+    gx2 = dot_bt(g_rgb, W["wrgb"]) * m(a["x2"])
+    grads_w["wd2"] = dot_t_acc(a["x1"], gx2)
+    grads_b["bd2"] = jnp.sum(gx2, axis=0, keepdims=True)
+    gx1 = dot_bt(gx2, W["wd2"]) * m(a["x1"])
+    grads_w["wd1"] = dot_t_acc(a["x0"], gx1)
+    grads_b["bd1"] = jnp.sum(gx1, axis=0, keepdims=True)
+    gx0 = dot_bt(gx1, W["wd1"]) * m(a["hd_pre"])
+    grads_w["wd0"] = dot_t_acc(a["feat"], gx0)
+    grads_b["bd0"] = jnp.sum(gx0, axis=0, keepdims=True)
+    # per-ray dir contribution grad: sum over samples
+    d_dir_ref[:] = jnp.sum(
+        gx0.reshape(n_rays, n_samples, DIR_HIDDEN), axis=1
+    )
+
+    # sigma head
+    grads_w["wa"] = dot_t_acc(a["feat"], g_alpha)
+    grads_b["ba"] = jnp.sum(g_alpha, axis=0, keepdims=True)
+
+    gfeat = dot_bt(g_alpha, W["wa"]) + dot_bt(gx0, W["wd0"])
+    grads_w["wf"] = dot_t_acc(a["h5"], gfeat)
+    grads_b["bf"] = jnp.sum(gfeat, axis=0, keepdims=True)
+
+    gh5 = dot_bt(gfeat, W["wf"]) * m(a["h5"])
+    grads_w["w5"] = dot_t_acc(a["h4"], gh5)
+    grads_b["b5"] = jnp.sum(gh5, axis=0, keepdims=True)
+    gh4 = dot_bt(gh5, W["w5"]) * m(a["h4"])
+    grads_w["w4"] = dot_t_acc(a["h3"], gh4)
+    grads_b["b4"] = jnp.sum(gh4, axis=0, keepdims=True)
+    gh3 = dot_bt(gh4, W["w4"]) * m(a["h3"])
+    grads_w["w3x"] = dot_t_acc(pe, gh3)
+    grads_w["w3h"] = dot_t_acc(a["h2"], gh3)
+    d_cond3 = jnp.sum(gh3, axis=0, keepdims=True)
+    gh2 = dot_bt(gh3, W["w3h"]) * m(a["h2"])
+    grads_w["w2"] = dot_t_acc(a["h1"], gh2)
+    grads_b["b2"] = jnp.sum(gh2, axis=0, keepdims=True)
+    gh1 = dot_bt(gh2, W["w2"]) * m(a["h1"])
+    grads_w["w1"] = dot_t_acc(a["h0"], gh1)
+    grads_b["b1"] = jnp.sum(gh1, axis=0, keepdims=True)
+    gh0 = dot_bt(gh1, W["w1"]) * m(a["h0"])
+    grads_w["w0"] = dot_t_acc(pe, gh0)
+    d_cond0 = jnp.sum(gh0, axis=0, keepdims=True)
+
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _():
+        for name in WEIGHT_NAMES:
+            d_w[name][:] = grads_w[name]
+        for name in BIAS_NAMES:
+            d_b[name][:] = grads_b[name]
+        d_cond0_ref[:] = d_cond0
+        d_cond3_ref[:] = d_cond3
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        for name in WEIGHT_NAMES:
+            d_w[name][:] += grads_w[name]
+        for name in BIAS_NAMES:
+            d_b[name][:] += grads_b[name]
+        d_cond0_ref[:] += d_cond0
+        d_cond3_ref[:] += d_cond3
+
+
+def _const_spec(shape):
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+
+def _weight_specs(d_pe):
+    shapes = _weight_shapes(d_pe)
+    return [_const_spec(shapes[n]) for n in WEIGHT_NAMES + BIAS_NAMES]
+
+
+def _weight_shapes(d_pe):
+    return {
+        "w0": (d_pe, HIDDEN),
+        "w1": (HIDDEN, HIDDEN),
+        "w2": (HIDDEN, HIDDEN),
+        "w3x": (d_pe, HIDDEN),
+        "w3h": (HIDDEN, HIDDEN),
+        "w4": (HIDDEN, HIDDEN),
+        "w5": (HIDDEN, HIDDEN),
+        "wf": (HIDDEN, HIDDEN),
+        "wa": (HIDDEN, 1),
+        "wd0": (HIDDEN, DIR_HIDDEN),
+        "wd1": (DIR_HIDDEN, DIR_HIDDEN),
+        "wd2": (DIR_HIDDEN, DIR_HIDDEN),
+        "wrgb": (DIR_HIDDEN, 3),
+        "b1": (1, HIDDEN),
+        "b2": (1, HIDDEN),
+        "b4": (1, HIDDEN),
+        "b5": (1, HIDDEN),
+        "bf": (1, HIDDEN),
+        "ba": (1, 1),
+        "bd0": (1, DIR_HIDDEN),
+        "bd1": (1, DIR_HIDDEN),
+        "bd2": (1, DIR_HIDDEN),
+        "brgb": (1, 3),
+    }
+
+
+def _pick_rays_per_tile(n_rays: int, n_samples: int, target: int = 1024) -> int:
+    """Ray-tile size: a multiple of 8 (f32 sublane tiling on the 2-D
+    per-ray blocks) dividing n_rays, with TR*n_samples around `target`."""
+    tr = max(8, (target // n_samples // 8) * 8)
+    while tr > 8 and n_rays % tr:
+        tr -= 8
+    return tr
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused(n_samples: int, rays_per_tile: int, pe, dir_c, cond0, cond3, *weights):
+    out, _ = _fused_fwd(n_samples, rays_per_tile, pe, dir_c, cond0, cond3, *weights)
+    return out
+
+
+def _fused_fwd(n_samples, rays_per_tile, pe, dir_c, cond0, cond3, *weights):
+    n_rays = pe.shape[0]
+    d_pe = pe.shape[-1]
+    tr = rays_per_tile
+    grid = (n_rays // tr,)
+
+    in_specs = [
+        pl.BlockSpec((tr, n_samples, d_pe), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tr, DIR_HIDDEN), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        _const_spec((1, HIDDEN)),
+        _const_spec((1, HIDDEN)),
+    ] + _weight_specs(d_pe)
+
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, tr, n_samples),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (tr, n_samples, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_rays, n_samples, 4), jnp.float32),
+        interpret=_interpret(),
+    )(pe, dir_c, cond0, cond3, *weights)
+    return out, (pe, dir_c, cond0, cond3, weights)
+
+
+def _fused_bwd(n_samples, rays_per_tile, residuals, g):
+    pe, dir_c, cond0, cond3, weights = residuals
+    n_rays = pe.shape[0]
+    d_pe = pe.shape[-1]
+    tr = rays_per_tile
+    grid = (n_rays // tr,)
+    shapes = _weight_shapes(d_pe)
+
+    in_specs = [
+        pl.BlockSpec((tr, n_samples, d_pe), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tr, DIR_HIDDEN), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        _const_spec((1, HIDDEN)),
+        _const_spec((1, HIDDEN)),
+    ] + _weight_specs(d_pe) + [
+        pl.BlockSpec((tr, n_samples, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+
+    out_shapes = (
+        [jax.ShapeDtypeStruct(shapes[n], jnp.float32) for n in WEIGHT_NAMES]
+        + [jax.ShapeDtypeStruct(shapes[n], jnp.float32) for n in BIAS_NAMES]
+        + [
+            jax.ShapeDtypeStruct((1, HIDDEN), jnp.float32),  # d_cond0
+            jax.ShapeDtypeStruct((1, HIDDEN), jnp.float32),  # d_cond3
+            jax.ShapeDtypeStruct((n_rays, DIR_HIDDEN), jnp.float32),  # d_dir
+        ]
+    )
+    out_specs = (
+        [_const_spec(shapes[n]) for n in WEIGHT_NAMES]
+        + [_const_spec(shapes[n]) for n in BIAS_NAMES]
+        + [
+            _const_spec((1, HIDDEN)),
+            _const_spec((1, HIDDEN)),
+            pl.BlockSpec((tr, DIR_HIDDEN), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+    )
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, tr, n_samples),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=_interpret(),
+    )(pe, dir_c, cond0, cond3, *weights, g)
+
+    nw = len(WEIGHT_NAMES)
+    nb = nw + len(BIAS_NAMES)
+    d_weights = tuple(
+        outs[i].astype(w.dtype)
+        for i, w in zip(range(nb), weights)
+    )
+    d_cond0 = outs[nb]
+    d_cond3 = outs[nb + 1]
+    d_dir = outs[nb + 2]
+    d_pe = jnp.zeros_like(pe)  # sample positions carry no trainable grads
+    return (d_pe, d_dir, d_cond0, d_cond3) + d_weights
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_paper_mlp(
+    params,
+    pe_xyz: jnp.ndarray,   # (R, S, d_pe) f32
+    dir_contrib: jnp.ndarray,  # (R, 128) f32 — pe_dir @ W_dir0[:, 256:].T
+    cond: jnp.ndarray,     # (108,) = [expr/3; latent] per-frame vector
+    dim_xyz: int,
+    rays_per_tile: int = 0,
+) -> jnp.ndarray:
+    """Fused forward of ConditionalBlendshapePaperNeRFModel; returns
+    (R, S, 4) radiance [rgb, sigma]. Differentiable w.r.t. params and cond
+    (and hence the latent-code table)."""
+    n_rays, n_samples, d_pe = pe_xyz.shape
+    if rays_per_tile <= 0:
+        rays_per_tile = _pick_rays_per_tile(n_rays, n_samples)
+    dc = cond.shape[-1]
+
+    def w(name):
+        return params[name + ".weight"]
+
+    def b(name):
+        return params[name + ".bias"]
+
+    bf16 = jnp.bfloat16
+    # conditioning folds: cond0 = W0[:, d_pe:d_pe+dc] @ cond + b0
+    cond0 = (w("layers_xyz.0")[:, d_pe:d_pe + dc] @ cond + b("layers_xyz.0"))[None, :]
+    cond3 = (w("layers_xyz.3")[:, d_pe:d_pe + dc] @ cond + b("layers_xyz.3"))[None, :]
+
+    weights = (
+        w("layers_xyz.0")[:, :d_pe].T.astype(bf16),
+        w("layers_xyz.1").T.astype(bf16),
+        w("layers_xyz.2").T.astype(bf16),
+        w("layers_xyz.3")[:, :d_pe].T.astype(bf16),
+        w("layers_xyz.3")[:, d_pe + dc:].T.astype(bf16),
+        w("layers_xyz.4").T.astype(bf16),
+        w("layers_xyz.5").T.astype(bf16),
+        w("fc_feat").T.astype(bf16),
+        w("fc_alpha").T.astype(bf16),
+        w("layers_dir.0")[:, :HIDDEN].T.astype(bf16),
+        w("layers_dir.1").T.astype(bf16),
+        w("layers_dir.2").T.astype(bf16),
+        w("fc_rgb").T.astype(bf16),
+        b("layers_xyz.1")[None, :],
+        b("layers_xyz.2")[None, :],
+        b("layers_xyz.4")[None, :],
+        b("layers_xyz.5")[None, :],
+        b("fc_feat")[None, :],
+        b("fc_alpha")[None, :],
+        b("layers_dir.0")[None, :],
+        b("layers_dir.1")[None, :],
+        b("layers_dir.2")[None, :],
+        b("fc_rgb")[None, :],
+    )
+    return _fused(
+        n_samples, rays_per_tile, pe_xyz, dir_contrib, cond0, cond3, *weights
+    )

@@ -81,15 +81,26 @@ def sample_pdf(
             key, cdf.shape[:-1] + (num_samples,), dtype=weights.dtype
         )
 
-    # Branchless per-ray binary search (vmapped searchsorted, side='right').
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    # searchsorted(side='right') as a comparison matrix + one-hot gathers.
+    # B is small (≈ num_coarse), so the (R, Q, B) compare + two batched
+    # one-hot contractions run on VPU/MXU in microseconds, where a vmapped
+    # binary search plus 4 take_along_axis row-gathers costs ~12 ms per
+    # step on a v5e (gathers don't vectorize across lanes on TPU).
+    B = cdf.shape[-1]
+    cmp = (u[..., :, None] >= cdf[..., None, :]).astype(u.dtype)  # (R, Q, B)
+    inds = jnp.sum(cmp, axis=-1).astype(jnp.int32)
     below = jnp.maximum(0, inds - 1)
-    above = jnp.minimum(cdf.shape[-1] - 1, inds)
+    above = jnp.minimum(B - 1, inds)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    iota = jnp.arange(B, dtype=jnp.int32)
+    oh_below = (below[..., :, None] == iota).astype(u.dtype)  # (R, Q, B)
+    oh_above = (above[..., :, None] == iota).astype(u.dtype)
+    # one gather pair per one-hot: contract against [cdf; bins] jointly
+    cb = jnp.stack([cdf, bins], axis=-1)  # (R, B, 2)
+    below_vals = jnp.einsum("rqb,rbc->rqc", oh_below, cb)
+    above_vals = jnp.einsum("rqb,rbc->rqc", oh_above, cb)
+    cdf_below, bins_below = below_vals[..., 0], below_vals[..., 1]
+    cdf_above, bins_above = above_vals[..., 0], above_vals[..., 1]
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)

@@ -80,6 +80,10 @@ class RenderSettings:
     encode_xyz: EncodeSpec = EncodeSpec(10, True, True)
     encode_dir: Optional[EncodeSpec] = EncodeSpec(4, False, True)
     chunksize: int = 65536  # eval-time ray tile size (memory bound), not a loop here
+    # Fused Pallas MLP kernel: "auto" fuses when computing in bfloat16 on a
+    # TPU backend and the model is the flagship paper model; "on"/"off"
+    # force. f32 (dtype=None) stays on the XLA path for reference parity.
+    fused: str = "auto"
 
     @classmethod
     def from_cfg(cls, cfg, mode: str = "train") -> "RenderSettings":
@@ -110,6 +114,56 @@ class RenderSettings:
             encode_dir=encode_dir,
             chunksize=int(node.chunksize),
         )
+
+
+def _apply_model(
+    model, params, pe_xyz, pe_dir, expr, latent, dtype, fused: str
+) -> jnp.ndarray:
+    """Dispatch to the fused Pallas MLP when eligible, else the pure-JAX
+    apply. Eligibility (all trace-time static): flagship paper model,
+    structured (R, S, D) inputs, per-frame 1-D conditioning, TPU backend,
+    ray count divisible by the tile size."""
+    if fused != "off":
+        from nerface_tpu.models.nerf_models import ConditionalBlendshapePaperNeRFModel
+
+        want = fused == "on" or (fused == "auto" and dtype == jnp.bfloat16)
+        if (
+            want
+            and isinstance(model, ConditionalBlendshapePaperNeRFModel)
+            and pe_xyz.ndim == 3
+            and pe_dir is not None
+            and pe_dir.ndim == 2
+            and expr is not None and expr.ndim == 1
+            and latent is not None and latent.ndim == 1
+            and model.dim_xyz == pe_xyz.shape[-1]
+            # apply() slices the first pe_dir-width dir columns; the model
+            # may declare more (include_input_dir default) — same slice here
+            and model.dim_dir >= pe_dir.shape[-1]
+        ):
+            from nerface_tpu.models.mlp import linear_cols
+            from nerface_tpu.ops.pallas.fused_mlp import (
+                _pick_rays_per_tile,
+                fused_paper_mlp,
+                fused_paper_mlp_available,
+            )
+
+            tr = _pick_rays_per_tile(pe_xyz.shape[0], pe_xyz.shape[1])
+            if fused_paper_mlp_available(pe_xyz.shape[0], tr):
+                cond = jnp.concatenate([expr * (1.0 / 3.0), latent])
+                dd = pe_dir.shape[-1]
+                dir_contrib = linear_cols(
+                    params, "layers_dir.0", pe_dir, 256, 256 + dd
+                )
+                return fused_paper_mlp(
+                    params, pe_xyz, dir_contrib, cond, pe_xyz.shape[-1],
+                    rays_per_tile=tr,
+                )
+    return model.apply(
+        params, pe_xyz, pe_dir,
+        expr if model.takes_expression else None,
+        latent if model.takes_latent else None,
+        dtype=dtype,
+    )
 
 
 def _direction_branch_input(
@@ -178,11 +232,9 @@ def render_rays(
         )
         pe_dir = settings.encode_dir(_direction_branch_input(dir_src, near, far))
 
-    radiance_coarse = model_coarse.apply(
-        params_coarse, pe_xyz, pe_dir,
-        expressions if model_coarse.takes_expression else None,
-        latent_code if model_coarse.takes_latent else None,
-        dtype=dtype,
+    radiance_coarse = _apply_model(
+        model_coarse, params_coarse, pe_xyz, pe_dir,
+        expressions, latent_code, dtype, settings.fused,
     )
     radiance_coarse = inject_background(radiance_coarse, background_prior)
 
@@ -226,11 +278,9 @@ def render_rays(
         pts_fine = ro[..., None, :] + rd[..., None, :] * z_all[..., :, None]
         pe_xyz_fine = settings.encode_xyz(pts_fine)
 
-        radiance_fine = model_fine.apply(
-            params_fine, pe_xyz_fine, pe_dir,
-            expressions if model_fine.takes_expression else None,
-            latent_code if model_fine.takes_latent else None,
-            dtype=dtype,
+        radiance_fine = _apply_model(
+            model_fine, params_fine, pe_xyz_fine, pe_dir,
+            expressions, latent_code, dtype, settings.fused,
         )
         radiance_fine = inject_background(radiance_fine, background_prior)
 
