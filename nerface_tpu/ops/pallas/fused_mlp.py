@@ -42,9 +42,12 @@ except Exception:  # pragma: no cover
 
 HIDDEN = 256
 DIR_HIDDEN = 128
-# Weight order shared by fwd/bwd: name -> logical (in, out) shape factory.
+# Weight order shared by fwd/bwd. Layer 0 and the skip layer are split into
+# raw-xyz rows (w0a/w3xa) and encoding rows (w0b/w3xb) because the kernel
+# computes the positional encoding in VMEM and never materializes the
+# concatenated [xyz, enc] input.
 WEIGHT_NAMES = (
-    "w0", "w1", "w2", "w3x", "w3h", "w4", "w5", "wf", "wa",
+    "w0a", "w0b", "w1", "w2", "w3xa", "w3xb", "w3h", "w4", "w5", "wf", "wa",
     "wd0", "wd1", "wd2", "wrgb",
 )
 BIAS_NAMES = ("b1", "b2", "b4", "b5", "bf", "ba", "bd0", "bd1", "bd2", "brgb")
@@ -73,15 +76,27 @@ def _dot(a, b):
     )
 
 
-def _trunk_forward(pe, dir_c, cond0, cond3, W, n_rays, n_samples):
-    """Shared fwd math. pe: (TILE, D_pe) f32; dir_c: (TR, 128);
-    cond0/cond3: (1, 256). W: dict of bf16 (in, out) weights + f32 biases.
-    Returns every activation needed by the backward pass."""
-    tile = pe.shape[0]
-    h0 = jax.nn.relu(_dot(pe, W["w0"]) + cond0)
+def _encode_in_kernel(x3, C, phase):
+    """Positional encoding in VMEM: enc = sin(x @ C + phase), f32 throughout
+    (bf16 would corrupt the high-frequency band arguments)."""
+    t = jax.lax.dot_general(
+        x3, C, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return jnp.sin(t + phase)
+
+
+def _trunk_forward(x3, enc, dir_c, cond0, cond3, W, n_rays, n_samples):
+    """Shared fwd math. x3: (TILE, 3) raw points; enc: (TILE, 2·N·3) their
+    sin/cos encoding; dir_c: (TR, 128); cond0/cond3: (1, 256). W: dict of
+    bf16 (in, out) weights + f32 biases. Returns every activation needed by
+    the backward pass."""
+    tile = x3.shape[0]
+    h0 = jax.nn.relu(_dot(x3, W["w0a"]) + _dot(enc, W["w0b"]) + cond0)
     h1 = jax.nn.relu(_dot(h0, W["w1"]) + W["b1"])
     h2 = jax.nn.relu(_dot(h1, W["w2"]) + W["b2"])
-    h3 = jax.nn.relu(_dot(pe, W["w3x"]) + _dot(h2, W["w3h"]) + cond3)
+    h3 = jax.nn.relu(
+        _dot(x3, W["w3xa"]) + _dot(enc, W["w3xb"]) + _dot(h2, W["w3h"]) + cond3
+    )
     h4 = jax.nn.relu(_dot(h3, W["w4"]) + W["b4"])
     h5 = jax.nn.relu(_dot(h4, W["w5"]) + W["b5"])
     feat = _dot(h5, W["wf"]) + W["bf"]
@@ -120,24 +135,25 @@ def _unpack_weight_refs(refs):
 
 
 def _fwd_kernel(n_rays, n_samples, *refs):
-    pe_ref, dir_ref, cond0_ref, cond3_ref = refs[:4]
-    W, used = _unpack_weight_refs(refs[4:])
-    out_ref = refs[4 + used]
+    pts_ref, dir_ref, cond0_ref, cond3_ref, C_ref, phase_ref = refs[:6]
+    W, used = _unpack_weight_refs(refs[6:])
+    out_ref = refs[6 + used]
 
     tile = n_rays * n_samples
-    pe = pe_ref[:].reshape(tile, pe_ref.shape[-1])
+    x3 = pts_ref[:].reshape(tile, 3)
+    enc = _encode_in_kernel(x3, C_ref[:], phase_ref[:])
     rgb, alpha, _ = _trunk_forward(
-        pe, dir_ref[:], cond0_ref[:], cond3_ref[:], W, n_rays, n_samples
+        x3, enc, dir_ref[:], cond0_ref[:], cond3_ref[:], W, n_rays, n_samples
     )
     out = jnp.concatenate([rgb, alpha], axis=-1)
     out_ref[:] = out.reshape(n_rays, n_samples, 4)
 
 
 def _bwd_kernel(n_rays, n_samples, *refs):
-    pe_ref, dir_ref, cond0_ref, cond3_ref = refs[:4]
-    W, used = _unpack_weight_refs(refs[4:])
-    g_ref = refs[4 + used]
-    outs = refs[5 + used:]
+    pts_ref, dir_ref, cond0_ref, cond3_ref, C_ref, phase_ref = refs[:6]
+    W, used = _unpack_weight_refs(refs[6:])
+    g_ref = refs[6 + used]
+    outs = refs[7 + used:]
     # Output order: dW per WEIGHT_NAMES, db per BIAS_NAMES, dcond0, dcond3,
     # ddir (per-tile block).
     d_w = {name: outs[i] for i, name in enumerate(WEIGHT_NAMES)}
@@ -147,9 +163,11 @@ def _bwd_kernel(n_rays, n_samples, *refs):
     d_cond0_ref, d_cond3_ref, d_dir_ref = outs[nb], outs[nb + 1], outs[nb + 2]
 
     tile = n_rays * n_samples
-    pe = pe_ref[:].reshape(tile, pe_ref.shape[-1])
+    x3 = pts_ref[:].reshape(tile, 3)
+    enc = _encode_in_kernel(x3, C_ref[:], phase_ref[:])
+    enc_bf = enc.astype(jnp.bfloat16)
     rgb, alpha, a = _trunk_forward(
-        pe, dir_ref[:], cond0_ref[:], cond3_ref[:], W, n_rays, n_samples
+        x3, enc, dir_ref[:], cond0_ref[:], cond3_ref[:], W, n_rays, n_samples
     )
 
     g = g_ref[:].reshape(tile, 4)
@@ -213,7 +231,8 @@ def _bwd_kernel(n_rays, n_samples, *refs):
     grads_w["w4"] = dot_t_acc(a["h3"], gh4)
     grads_b["b4"] = jnp.sum(gh4, axis=0, keepdims=True)
     gh3 = dot_bt(gh4, W["w4"]) * m(a["h3"])
-    grads_w["w3x"] = dot_t_acc(pe, gh3)
+    grads_w["w3xa"] = dot_t_acc(x3, gh3)
+    grads_w["w3xb"] = dot_t_acc(enc_bf, gh3)
     grads_w["w3h"] = dot_t_acc(a["h2"], gh3)
     d_cond3 = jnp.sum(gh3, axis=0, keepdims=True)
     gh2 = dot_bt(gh3, W["w3h"]) * m(a["h2"])
@@ -223,7 +242,8 @@ def _bwd_kernel(n_rays, n_samples, *refs):
     grads_w["w1"] = dot_t_acc(a["h0"], gh1)
     grads_b["b1"] = jnp.sum(gh1, axis=0, keepdims=True)
     gh0 = dot_bt(gh1, W["w1"]) * m(a["h0"])
-    grads_w["w0"] = dot_t_acc(pe, gh0)
+    grads_w["w0a"] = dot_t_acc(x3, gh0)
+    grads_w["w0b"] = dot_t_acc(enc_bf, gh0)
     d_cond0 = jnp.sum(gh0, axis=0, keepdims=True)
 
     first = pl.program_id(0) == 0
@@ -251,17 +271,19 @@ def _const_spec(shape):
     return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
 
 
-def _weight_specs(d_pe):
-    shapes = _weight_shapes(d_pe)
+def _weight_specs(d_enc):
+    shapes = _weight_shapes(d_enc)
     return [_const_spec(shapes[n]) for n in WEIGHT_NAMES + BIAS_NAMES]
 
 
-def _weight_shapes(d_pe):
+def _weight_shapes(d_enc):
     return {
-        "w0": (d_pe, HIDDEN),
+        "w0a": (3, HIDDEN),
+        "w0b": (d_enc, HIDDEN),
         "w1": (HIDDEN, HIDDEN),
         "w2": (HIDDEN, HIDDEN),
-        "w3x": (d_pe, HIDDEN),
+        "w3xa": (3, HIDDEN),
+        "w3xb": (d_enc, HIDDEN),
         "w3h": (HIDDEN, HIDDEN),
         "w4": (HIDDEN, HIDDEN),
         "w5": (HIDDEN, HIDDEN),
@@ -286,31 +308,47 @@ def _weight_shapes(d_pe):
 
 def _pick_rays_per_tile(n_rays: int, n_samples: int, target: int = 1024) -> int:
     """Ray-tile size: a multiple of 8 (f32 sublane tiling on the 2-D
-    per-ray blocks) dividing n_rays, with TR*n_samples around `target`."""
+    per-ray blocks) dividing n_rays, with TR*n_samples around `target`.
+
+    Backward tiles stay near 1024 samples (11 live activations + weight
+    gradients must fit VMEM); forward-only tiles go to ~2048 (only 2-3
+    activations live), which matters for full-frame eval where a small
+    tile turns into thousands of grid steps of fixed overhead."""
     tr = max(8, (target // n_samples // 8) * 8)
     while tr > 8 and n_rays % tr:
         tr -= 8
     return tr
 
 
+def _pick_fwd_rays_per_tile(n_rays: int, n_samples: int) -> int:
+    return _pick_rays_per_tile(n_rays, n_samples, target=2048)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _fused(n_samples: int, rays_per_tile: int, pe, dir_c, cond0, cond3, *weights):
-    out, _ = _fused_fwd(n_samples, rays_per_tile, pe, dir_c, cond0, cond3, *weights)
+def _fused(n_samples: int, rays_per_tile: int, pts, dir_c, cond0, cond3, C, phase, *weights):
+    out, _ = _fused_fwd(
+        n_samples, rays_per_tile, pts, dir_c, cond0, cond3, C, phase, *weights
+    )
     return out
 
 
-def _fused_fwd(n_samples, rays_per_tile, pe, dir_c, cond0, cond3, *weights):
-    n_rays = pe.shape[0]
-    d_pe = pe.shape[-1]
-    tr = rays_per_tile
+def _fused_fwd(n_samples, rays_per_tile, pts, dir_c, cond0, cond3, C, phase, *weights):
+    n_rays = pts.shape[0]
+    d_enc = C.shape[-1]
+    # forward-only: larger tiles amortize per-grid-step overhead
+    tr = _pick_fwd_rays_per_tile(n_rays, n_samples)
+    if n_rays % tr:
+        tr = rays_per_tile
     grid = (n_rays // tr,)
 
     in_specs = [
-        pl.BlockSpec((tr, n_samples, d_pe), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tr, n_samples, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tr, DIR_HIDDEN), lambda i: (i, 0), memory_space=pltpu.VMEM),
         _const_spec((1, HIDDEN)),
         _const_spec((1, HIDDEN)),
-    ] + _weight_specs(d_pe)
+        _const_spec((3, d_enc)),
+        _const_spec((1, d_enc)),
+    ] + _weight_specs(d_enc)
 
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, tr, n_samples),
@@ -321,24 +359,26 @@ def _fused_fwd(n_samples, rays_per_tile, pe, dir_c, cond0, cond3, *weights):
         ),
         out_shape=jax.ShapeDtypeStruct((n_rays, n_samples, 4), jnp.float32),
         interpret=_interpret(),
-    )(pe, dir_c, cond0, cond3, *weights)
-    return out, (pe, dir_c, cond0, cond3, weights)
+    )(pts, dir_c, cond0, cond3, C, phase, *weights)
+    return out, (pts, dir_c, cond0, cond3, C, phase, weights)
 
 
 def _fused_bwd(n_samples, rays_per_tile, residuals, g):
-    pe, dir_c, cond0, cond3, weights = residuals
-    n_rays = pe.shape[0]
-    d_pe = pe.shape[-1]
+    pts, dir_c, cond0, cond3, C, phase, weights = residuals
+    n_rays = pts.shape[0]
+    d_enc = C.shape[-1]
     tr = rays_per_tile
     grid = (n_rays // tr,)
-    shapes = _weight_shapes(d_pe)
+    shapes = _weight_shapes(d_enc)
 
     in_specs = [
-        pl.BlockSpec((tr, n_samples, d_pe), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tr, n_samples, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tr, DIR_HIDDEN), lambda i: (i, 0), memory_space=pltpu.VMEM),
         _const_spec((1, HIDDEN)),
         _const_spec((1, HIDDEN)),
-    ] + _weight_specs(d_pe) + [
+        _const_spec((3, d_enc)),
+        _const_spec((1, d_enc)),
+    ] + _weight_specs(d_enc) + [
         pl.BlockSpec((tr, n_samples, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     ]
 
@@ -368,7 +408,7 @@ def _fused_bwd(n_samples, rays_per_tile, residuals, g):
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=_interpret(),
-    )(pe, dir_c, cond0, cond3, *weights, g)
+    )(pts, dir_c, cond0, cond3, C, phase, *weights, g)
 
     nw = len(WEIGHT_NAMES)
     nb = nw + len(BIAS_NAMES)
@@ -379,8 +419,11 @@ def _fused_bwd(n_samples, rays_per_tile, residuals, g):
     d_cond0 = outs[nb]
     d_cond3 = outs[nb + 1]
     d_dir = outs[nb + 2]
-    d_pe = jnp.zeros_like(pe)  # sample positions carry no trainable grads
-    return (d_pe, d_dir, d_cond0, d_cond3) + d_weights
+    d_pts = jnp.zeros_like(pts)  # sample positions carry no trainable grads
+    return (
+        d_pts, d_dir, d_cond0, d_cond3,
+        jnp.zeros_like(C), jnp.zeros_like(phase),
+    ) + d_weights
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
@@ -388,19 +431,29 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 
 def fused_paper_mlp(
     params,
-    pe_xyz: jnp.ndarray,   # (R, S, d_pe) f32
+    pts: jnp.ndarray,      # (R, S, 3) raw sample positions, f32
     dir_contrib: jnp.ndarray,  # (R, 128) f32 — pe_dir @ W_dir0[:, 256:].T
     cond: jnp.ndarray,     # (108,) = [expr/3; latent] per-frame vector
-    dim_xyz: int,
+    num_encoding_fn_xyz: int = 10,
+    log_sampling_xyz: bool = True,
     rays_per_tile: int = 0,
 ) -> jnp.ndarray:
     """Fused forward of ConditionalBlendshapePaperNeRFModel; returns
-    (R, S, 4) radiance [rgb, sigma]. Differentiable w.r.t. params and cond
-    (and hence the latent-code table)."""
-    n_rays, n_samples, d_pe = pe_xyz.shape
+    (R, S, 4) radiance [rgb, sigma]. Positional encoding is computed inside
+    the kernel (include_input=True layout: [xyz, sin/cos bands]) — the big
+    (R, S, 63) PE array never exists in HBM. Differentiable w.r.t. params
+    and cond (and hence the latent-code table)."""
+    from nerface_tpu.ops.encoding import _encoding_matrix
+
+    n_rays, n_samples, _ = pts.shape
     if rays_per_tile <= 0:
         rays_per_tile = _pick_rays_per_tile(n_rays, n_samples)
     dc = cond.shape[-1]
+    d_pe = 3 + 2 * num_encoding_fn_xyz * 3
+
+    C_np, phase_np = _encoding_matrix(3, num_encoding_fn_xyz, log_sampling_xyz)
+    C = jnp.asarray(C_np)
+    phase = jnp.asarray(phase_np)[None, :]
 
     def w(name):
         return params[name + ".weight"]
@@ -414,11 +467,13 @@ def fused_paper_mlp(
     cond3 = (w("layers_xyz.3")[:, d_pe:d_pe + dc] @ cond + b("layers_xyz.3"))[None, :]
 
     weights = (
-        w("layers_xyz.0")[:, :d_pe].T.astype(bf16),
+        w("layers_xyz.0")[:, :3].T.astype(bf16),          # w0a (xyz rows)
+        w("layers_xyz.0")[:, 3:d_pe].T.astype(bf16),      # w0b (enc rows)
         w("layers_xyz.1").T.astype(bf16),
         w("layers_xyz.2").T.astype(bf16),
-        w("layers_xyz.3")[:, :d_pe].T.astype(bf16),
-        w("layers_xyz.3")[:, d_pe + dc:].T.astype(bf16),
+        w("layers_xyz.3")[:, :3].T.astype(bf16),          # w3xa
+        w("layers_xyz.3")[:, 3:d_pe].T.astype(bf16),      # w3xb
+        w("layers_xyz.3")[:, d_pe + dc:].T.astype(bf16),  # w3h
         w("layers_xyz.4").T.astype(bf16),
         w("layers_xyz.5").T.astype(bf16),
         w("fc_feat").T.astype(bf16),
@@ -439,5 +494,6 @@ def fused_paper_mlp(
         b("fc_rgb")[None, :],
     )
     return _fused(
-        n_samples, rays_per_tile, pe_xyz, dir_contrib, cond0, cond3, *weights
+        n_samples, rays_per_tile, pts, dir_contrib, cond0, cond3, C, phase,
+        *weights
     )

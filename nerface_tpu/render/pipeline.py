@@ -117,11 +117,14 @@ class RenderSettings:
 
 
 def _apply_model(
-    model, params, pe_xyz, pe_dir, expr, latent, dtype, fused: str
+    model, params, pts, encode_xyz: "EncodeSpec", pe_dir, expr, latent,
+    dtype, fused: str
 ) -> jnp.ndarray:
-    """Dispatch to the fused Pallas MLP when eligible, else the pure-JAX
-    apply. Eligibility (all trace-time static): flagship paper model,
-    structured (R, S, D) inputs, per-frame 1-D conditioning, TPU backend,
+    """Encode + evaluate the radiance field: dispatch to the fused Pallas
+    MLP (which computes the positional encoding in VMEM) when eligible,
+    else positional-encode and run the pure-JAX apply. Eligibility (all
+    trace-time static): flagship paper model, structured (R, S, 3) points,
+    per-frame 1-D conditioning, include-input log/linear PE, TPU backend,
     ray count divisible by the tile size."""
     if fused != "off":
         from nerface_tpu.models.nerf_models import ConditionalBlendshapePaperNeRFModel
@@ -130,12 +133,14 @@ def _apply_model(
         if (
             want
             and isinstance(model, ConditionalBlendshapePaperNeRFModel)
-            and pe_xyz.ndim == 3
+            and pts.ndim == 3
+            and pts.shape[-1] == 3
+            and encode_xyz.include_input
             and pe_dir is not None
             and pe_dir.ndim == 2
             and expr is not None and expr.ndim == 1
             and latent is not None and latent.ndim == 1
-            and model.dim_xyz == pe_xyz.shape[-1]
+            and model.dim_xyz == 3 + 6 * encode_xyz.num_encoding_functions
             # apply() slices the first pe_dir-width dir columns; the model
             # may declare more (include_input_dir default) — same slice here
             and model.dim_dir >= pe_dir.shape[-1]
@@ -147,17 +152,20 @@ def _apply_model(
                 fused_paper_mlp_available,
             )
 
-            tr = _pick_rays_per_tile(pe_xyz.shape[0], pe_xyz.shape[1])
-            if fused_paper_mlp_available(pe_xyz.shape[0], tr):
+            tr = _pick_rays_per_tile(pts.shape[0], pts.shape[1])
+            if fused_paper_mlp_available(pts.shape[0], tr):
                 cond = jnp.concatenate([expr * (1.0 / 3.0), latent])
                 dd = pe_dir.shape[-1]
                 dir_contrib = linear_cols(
                     params, "layers_dir.0", pe_dir, 256, 256 + dd
                 )
                 return fused_paper_mlp(
-                    params, pe_xyz, dir_contrib, cond, pe_xyz.shape[-1],
+                    params, pts, dir_contrib, cond,
+                    num_encoding_fn_xyz=encode_xyz.num_encoding_functions,
+                    log_sampling_xyz=encode_xyz.log_sampling,
                     rays_per_tile=tr,
                 )
+    pe_xyz = encode_xyz(pts)
     return model.apply(
         params, pe_xyz, pe_dir,
         expr if model.takes_expression else None,
@@ -223,7 +231,6 @@ def render_rays(
         lindisp=settings.lindisp, perturb=settings.perturb,
     )
     pts = ro[..., None, :] + rd[..., None, :] * z_vals[..., :, None]
-    pe_xyz = settings.encode_xyz(pts)
 
     pe_dir = None
     if settings.use_viewdirs and settings.encode_dir is not None:
@@ -233,7 +240,7 @@ def render_rays(
         pe_dir = settings.encode_dir(_direction_branch_input(dir_src, near, far))
 
     radiance_coarse = _apply_model(
-        model_coarse, params_coarse, pe_xyz, pe_dir,
+        model_coarse, params_coarse, pts, settings.encode_xyz, pe_dir,
         expressions, latent_code, dtype, settings.fused,
     )
     radiance_coarse = inject_background(radiance_coarse, background_prior)
@@ -276,10 +283,9 @@ def render_rays(
         )
         z_all = merge_sorted_zvals(z_vals, z_samples)
         pts_fine = ro[..., None, :] + rd[..., None, :] * z_all[..., :, None]
-        pe_xyz_fine = settings.encode_xyz(pts_fine)
 
         radiance_fine = _apply_model(
-            model_fine, params_fine, pe_xyz_fine, pe_dir,
+            model_fine, params_fine, pts_fine, settings.encode_xyz, pe_dir,
             expressions, latent_code, dtype, settings.fused,
         )
         radiance_fine = inject_background(radiance_fine, background_prior)
