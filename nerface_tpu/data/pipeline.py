@@ -65,6 +65,11 @@ class RayFeed:
             dataset.bboxes, H, W, dataset.i_train, p=bbox_p
         )
         self._train_pos = {int(g): i for i, g in enumerate(dataset.i_train)}
+        # Native C++ sampler/assembler (Gumbel top-k + fused gather/rotate);
+        # numpy path when the toolchain is unavailable.
+        from nerface_tpu import native as _native
+
+        self._native = _native if _native.available() else None
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -75,24 +80,45 @@ class RayFeed:
         ds = self.dataset
         img_idx = int(self.rng.choice(ds.i_train))
         train_pos = self._train_pos[img_idx]
-        sel = sample_ray_indices(self.rng, self._maps[train_pos], self.num_rays)
 
-        pose = ds.poses[img_idx]
-        dirs = self._dirs_cam[sel]
-        rd = dirs @ pose[:3, :3].T.astype(np.float32)
-        ro = np.broadcast_to(pose[:3, 3].astype(np.float32), rd.shape).copy()
+        if self._native is not None:
+            seed = int(self.rng.randint(0, 2**63 - 1))
+            sel = self._native.gumbel_topk(
+                self._maps[train_pos], self.num_rays, seed
+            )
+            ro, rd, target, bg = self._native.assemble_batch(
+                sel,
+                self._dirs_cam,
+                self._images_flat[img_idx],
+                ds.poses[img_idx],
+                self._background_flat,
+            )
+        else:
+            sel = sample_ray_indices(
+                self.rng, self._maps[train_pos], self.num_rays
+            )
+            pose = ds.poses[img_idx]
+            dirs = self._dirs_cam[sel]
+            rd = (dirs @ pose[:3, :3].T.astype(np.float32)).astype(np.float32)
+            ro = np.broadcast_to(pose[:3, 3].astype(np.float32), rd.shape).copy()
+            target = self._images_flat[img_idx][sel, :3]
+            bg = (
+                self._background_flat[sel, :3].astype(np.float32)
+                if self._background_flat is not None
+                else None
+            )
 
         batch = {
             "ray_origins": ro,
-            "ray_directions": rd.astype(np.float32),
-            "target_rgb": self._images_flat[img_idx][sel, :3],
+            "ray_directions": rd,
+            "target_rgb": target,
             "expression": ds.expressions[img_idx],
             "latent_index": np.int32(img_idx),
             "frame_index": np.int32(img_idx),
             "pixel_indices": sel.astype(np.int32),
         }
-        if self._background_flat is not None:
-            batch["background_rgb"] = self._background_flat[sel, :3].astype(np.float32)
+        if bg is not None:
+            batch["background_rgb"] = bg
         return batch
 
     # -- prefetch loop -------------------------------------------------------

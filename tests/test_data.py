@@ -115,15 +115,9 @@ class TestRayFeed:
         idx = int(batch["frame_index"])
         ro_full, rd_full = ray_bundle_numpy(ds.H, ds.W, ds.intrinsics, ds.poses[idx])
         rd_full = rd_full.reshape(-1, 3)
-        # Recover which pixels were chosen by matching target colors' pixels:
-        # instead, rerun the selection deterministically.
-        feed2 = RayFeed(ds, num_rays=32, seed=3)
-        rng_clone = np.random.RandomState(3)
-        img_idx = int(rng_clone.choice(ds.i_train))
-        assert img_idx == idx
-        from nerface_tpu.data.sampler import sample_ray_indices
-
-        sel = sample_ray_indices(rng_clone, feed2._maps[feed2._train_pos[idx]], 32)
+        # the batch reports its selected pixels (native and numpy samplers
+        # draw different-but-equidistributed selections)
+        sel = batch["pixel_indices"].astype(np.int64)
         np.testing.assert_allclose(batch["ray_directions"], rd_full[sel], atol=1e-5)
         np.testing.assert_allclose(
             batch["target_rgb"], ds.images[idx].reshape(-1, 3)[sel], atol=1e-7
