@@ -36,6 +36,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--export-torch", action="store_true",
         help="Also write reference-schema torch .ckpt files.",
     )
+    parser.add_argument(
+        "--profile", type=str, default=None, metavar="LOGDIR",
+        help="Capture a jax.profiler trace of the run into LOGDIR.",
+    )
+    parser.add_argument(
+        "--debug-nans", action="store_true",
+        help="Fail fast on NaNs inside jitted code (jax_debug_nans).",
+    )
     return parser
 
 
@@ -55,14 +63,28 @@ def main(argv=None) -> None:
 
         mesh = Mesh(np.asarray(jax.devices()[: args.num_devices]), ("data",))
 
-    train(
-        load_config(args.config),
-        load_checkpoint=args.load_checkpoint,
-        max_iters=args.max_iters,
-        mesh=mesh,
-        export_torch=args.export_torch,
-        dtype=jnp.bfloat16 if args.bf16 else None,
-    )
+    if args.debug_nans:
+        from nerface_tpu.utils.profiling import enable_debug
+
+        enable_debug(nans=True)
+
+    import contextlib
+
+    ctx = contextlib.nullcontext()
+    if args.profile:
+        from nerface_tpu.utils.profiling import profile_trace
+
+        ctx = profile_trace(args.profile)
+
+    with ctx:
+        train(
+            load_config(args.config),
+            load_checkpoint=args.load_checkpoint,
+            max_iters=args.max_iters,
+            mesh=mesh,
+            export_torch=args.export_torch,
+            dtype=jnp.bfloat16 if args.bf16 else None,
+        )
 
 
 if __name__ == "__main__":

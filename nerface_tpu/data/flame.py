@@ -140,7 +140,48 @@ def load_flame_data(
     load_frontal_faces: bool = False,
     load_bbox: bool = True,
     test: bool = False,
+    cachedir: Optional[str] = None,
 ) -> FlameDataset:
+    """`cachedir` (the reference's `cfg.dataset.cachedir`,
+    `train_transformed_rays.py:52-57`): a directory holding a pre-decoded
+    .npz of the dataset — loaded instead of re-decoding PNGs, written on
+    first load."""
+    if cachedir:
+        tag = (
+            f"flame_{'test' if test else 'full'}"
+            f"_hr{int(half_res)}_ts{int(testskip)}_dbg{int(debug)}.npz"
+        )
+        cache_path = os.path.join(cachedir, tag)
+        if os.path.exists(cache_path):
+            z = np.load(cache_path, allow_pickle=False)
+            n_splits = int(z["n_splits"])
+            return FlameDataset(
+                z["images"], z["poses"], z["render_poses"],
+                int(z["H"]), int(z["W"]), z["intrinsics"],
+                [z[f"i_split_{i}"] for i in range(n_splits)],
+                z["expressions"],
+                z["frontal"] if "frontal" in z.files else None,
+                z["bboxes"], str(z["basedir"]),
+            )
+        ds = load_flame_data(
+            basedir, half_res=half_res, testskip=testskip, debug=debug,
+            expressions=expressions, load_frontal_faces=load_frontal_faces,
+            load_bbox=load_bbox, test=test, cachedir=None,
+        )
+        os.makedirs(cachedir, exist_ok=True)
+        payload = dict(
+            images=ds.images, poses=ds.poses, render_poses=ds.render_poses,
+            H=ds.H, W=ds.W, intrinsics=ds.intrinsics,
+            n_splits=len(ds.i_split), expressions=ds.expressions,
+            bboxes=ds.bboxes, basedir=ds.basedir,
+        )
+        for i, s in enumerate(ds.i_split):
+            payload[f"i_split_{i}"] = s
+        if ds.frontal_images is not None:
+            payload["frontal"] = ds.frontal_images
+        np.savez(cache_path, **payload)
+        return ds
+
     splits = ["test"] if test else ["train", "val", "test"]
     metas = {}
     for s in splits:

@@ -122,6 +122,7 @@ def evaluate(
             half_res=cfg.dataset.half_res,
             testskip=cfg.dataset.testskip,
             test=True,
+            cachedir=cfg.dataset.get("cachedir"),
         )
 
     model_coarse, model_fine = build_models_from_cfg(cfg)

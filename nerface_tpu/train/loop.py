@@ -171,6 +171,7 @@ def train(
             cfg.dataset.basedir,
             half_res=cfg.dataset.half_res,
             testskip=cfg.dataset.testskip,
+            cachedir=cfg.dataset.get("cachedir"),
         )
 
     seed = int(cfg.experiment.randomseed)
