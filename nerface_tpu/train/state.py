@@ -49,6 +49,8 @@ def build_optimizer(cfg) -> optax.GradientTransformation:
     }
     if opt_type not in table:
         raise ValueError(f"unsupported optimizer type: {cfg.optimizer.type}")
+    # (measured: optax.flatten is a net loss here — the ravel/unravel
+    # concat costs more than the per-tensor kernel launches it saves)
     return table[opt_type](learning_rate=schedule)
 
 
