@@ -31,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="Save photometric error visualization.",
     )
     parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument("--num-devices", type=int, default=0,
+                        help="Shard each frame's rays over this many "
+                             "devices (0 = single device).")
     parser.add_argument("--no-background", action="store_true")
     parser.add_argument("--no-expressions", action="store_true")
     parser.add_argument("--no-lcode", action="store_true")
@@ -71,6 +74,14 @@ def main(argv=None) -> None:
     )
     flags = dataclasses.replace(flags, **overrides)
 
+    mesh = None
+    if args.num_devices and args.num_devices > 1:
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()[: args.num_devices]), ("data",))
+
     summary = evaluate(
         cfg,
         checkpoint=args.checkpoint,
@@ -79,6 +90,7 @@ def main(argv=None) -> None:
         save_disparity_image=args.save_disparity_image,
         save_error_image=args.save_error_image,
         max_frames=args.max_frames,
+        mesh=mesh,
     )
     print(
         f"Rendered {int(summary['frames'])} frames; "

@@ -108,6 +108,7 @@ def evaluate(
     max_frames: Optional[int] = None,
     dtype=None,
     log: bool = True,
+    mesh=None,
 ) -> Dict[str, float]:
     """Run the full evaluation loop; returns timing/count summary."""
     from nerface_tpu.train import checkpoint as ckpt_lib
@@ -229,6 +230,7 @@ def evaluate(
             background=background,
             ray_directions_ablation=ray_directions_ablation,
             dtype=dtype,
+            mesh=mesh,
         )
         rgb = out.get("rgb_fine", out["rgb_coarse"])
         disp = out.get("disp_fine", out["disp_coarse"])

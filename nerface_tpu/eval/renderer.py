@@ -118,12 +118,17 @@ def render_full_frame(
     ray_directions_ablation: Optional[jnp.ndarray] = None,
     tile: Optional[int] = None,
     dtype=None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    data_axis: str = "data",
 ) -> Dict[str, jnp.ndarray]:
     """Render one full frame; returns image-shaped maps
     (rgb_coarse/rgb_fine (H,W,3), disp/acc/depth (H,W), bg_weight (H,W)).
 
     `background` may be (H, W, 3) or flat; `tile` defaults to
-    settings.chunksize (the reference's validation chunk size).
+    settings.chunksize (the reference's validation chunk size). With a
+    `mesh`, the frame's rays are sharded over `data_axis` — each chip
+    renders its slice of the ray axis (embarrassingly parallel; the only
+    collective is the output all-gather XLA inserts).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -135,8 +140,83 @@ def render_full_frame(
         if ray_directions_ablation is not None
         else None
     )
+    if mesh is not None:
+        return _render_frame_sharded(
+            model_coarse, model_fine, params_coarse, params_fine,
+            height, width, jnp.asarray(intrinsics), jnp.asarray(pose),
+            settings, key, expressions, latent_code, bg, abl, tile, dtype,
+            mesh, data_axis,
+        )
     return _render_frame_jit(
         model_coarse, model_fine, params_coarse, params_fine,
         height, width, jnp.asarray(intrinsics), jnp.asarray(pose), settings,
         key, expressions, latent_code, bg, abl, tile, dtype,
     )
+
+
+def _render_frame_sharded(
+    model_coarse, model_fine, params_coarse, params_fine,
+    height, width, intrinsics, pose, settings, key,
+    expressions, latent_code, background, abl, tile, dtype,
+    mesh, data_axis,
+):
+    """Multi-chip full-frame render: pad the H·W ray axis to a multiple of
+    n_devices·tile, shard it over the mesh with shard_map, and run the
+    single-device tile loop on each chip's slice."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    n_dev = mesh.shape[data_axis]
+    n = height * width
+    tile = min(tile, _round_up(n, n_dev) // n_dev)
+    n_pad = _round_up(n, tile * n_dev)
+    pad = n_pad - n
+
+    ro, rd = get_ray_bundle(height, width, intrinsics, pose)
+
+    def _flat_pad(x, fill=0.0):
+        x = x.reshape(n, -1)
+        return jnp.pad(x, ((0, pad), (0, 0)), constant_values=fill)
+
+    ro_f = _flat_pad(ro)
+    rd_f = _flat_pad(rd, fill=1.0)
+    bg_f = _flat_pad(background) if background is not None else None
+    abl_f = _flat_pad(abl, fill=1.0) if abl is not None else None
+    keys = jax.random.split(key, n_pad // tile)
+
+    ray_args = (ro_f, rd_f, keys, bg_f, abl_f)
+    in_specs = tuple(P(data_axis) if a is not None else P() for a in ray_args)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=in_specs, out_specs=P(data_axis), check_vma=False,
+    )
+    def shard_fn(ro_s, rd_s, keys_s, bg_s, abl_s):
+        ro_t = ro_s.reshape(-1, tile, 3)
+        rd_t = rd_s.reshape(-1, tile, 3)
+        bg_t = bg_s.reshape(-1, tile, 3) if bg_s is not None else None
+        abl_t = abl_s.reshape(-1, tile, 3) if abl_s is not None else None
+
+        def render_tile(args):
+            ro_i, rd_i, key_i, bg_i, abl_i = args
+            out = render_rays(
+                model_coarse, model_fine, params_coarse, params_fine,
+                ro_i, rd_i, settings, key=key_i,
+                expressions=expressions, latent_code=latent_code,
+                background_prior=bg_i, ray_directions_ablation=abl_i,
+                dtype=dtype,
+            )
+            out.pop("weights")
+            return {k: v for k, v in out.items() if v is not None}
+
+        tiles = jax.lax.map(render_tile, (ro_t, rd_t, keys_s, bg_t, abl_t))
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape(-1, *x.shape[2:]), tiles
+        )
+
+    out = shard_fn(*ray_args)
+
+    def _restore(x):
+        return x[:n].reshape(height, width, *x.shape[1:])
+
+    return {k: _restore(v) for k, v in out.items()}
