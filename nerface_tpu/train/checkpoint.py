@@ -111,8 +111,22 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
 
     background = ckpt.get("background")
     latent_codes = ckpt.get("latent_codes")
+    opt_sd = ckpt.get("optimizer_state_dict")
+    if opt_sd is not None:
+        opt_sd = {
+            "state": {
+                idx: {
+                    k: (np.asarray(v.detach().cpu().numpy())
+                        if hasattr(v, "detach") else v)
+                    for k, v in ent.items()
+                }
+                for idx, ent in opt_sd.get("state", {}).items()
+            },
+            "param_groups": opt_sd.get("param_groups", []),
+        }
     return {
         "iter": int(ckpt.get("iter", 0)),
+        "optimizer": opt_sd,
         "coarse": _to_np(ckpt["model_coarse_state_dict"]),
         "fine": _to_np(ckpt.get("model_fine_state_dict")),
         "background": (
@@ -130,8 +144,9 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
 
 def import_torch_weights(state: TrainState, torch_ckpt: Dict[str, Any]) -> TrainState:
     """Overwrite model weights / background / latent codes from a converted
-    reference checkpoint (optimizer state is left untouched; mirrors the
-    eval path, which never loads it)."""
+    reference checkpoint; Adam moments are also imported when the
+    checkpoint carries an optimizer_state_dict (the reference loads it on
+    resume, `train_transformed_rays.py:224`)."""
     params = dict(state.params)
     for which in ("coarse", "fine"):
         if torch_ckpt.get(which) is not None and params.get(which) is not None:
@@ -149,12 +164,27 @@ def import_torch_weights(state: TrainState, torch_ckpt: Dict[str, Any]) -> Train
             params["background"] = bg
         else:
             fixed_bg = bg
-    return TrainState(
+    new_state = TrainState(
         step=jnp.asarray(torch_ckpt.get("iter", 0), jnp.int32),
         params=params,
         opt_state=state.opt_state,
         fixed_background=fixed_bg,
     )
+    if torch_ckpt.get("optimizer") is not None:
+        # the loaded state_dicts' key order IS torch registration order —
+        # the order the reference's optimizer indexed params in
+        key_order = {
+            scope: list(torch_ckpt[scope])
+            for scope in ("coarse", "fine")
+            if torch_ckpt.get(scope) is not None
+        }
+        try:
+            new_state = import_torch_optimizer_state(
+                new_state, torch_ckpt["optimizer"], key_order=key_order
+            )
+        except ValueError:
+            pass  # non-Adam optimizer: weights-only import
+    return new_state
 
 
 def export_torch_checkpoint(
@@ -162,25 +192,42 @@ def export_torch_checkpoint(
     state: TrainState,
     loss: float = 0.0,
     psnr: float = 0.0,
+    key_order=None,
 ):
     """Write a reference-schema `.ckpt` consumable by the reference's eval
-    script (`eval_transformed_rays.py:301-330`). Optimizer state is exported
-    as None — the reference eval never reads it."""
+    AND train-resume scripts (`eval_transformed_rays.py:301-330`,
+    `train_transformed_rays.py:212-225`) — Adam moments included."""
     import torch
 
-    def _to_torch(tree):
+    key_order = key_order or {}
+
+    def _to_torch(tree, scope=None):
         if tree is None:
             return None
-        return {k: torch.from_numpy(np.asarray(v).copy()) for k, v in tree.items()}
+        order = key_order.get(scope) or list(tree)
+        return {k: torch.from_numpy(np.asarray(tree[k]).copy()) for k in order}
 
     background = state.params.get("background")
     if background is None:
         background = state.fixed_background
+    try:
+        opt_sd = export_torch_optimizer_state(state, key_order=key_order)
+        opt_sd["state"] = {
+            idx: {
+                "step": ent["step"],
+                "exp_avg": torch.from_numpy(ent["exp_avg"].copy()),
+                "exp_avg_sq": torch.from_numpy(ent["exp_avg_sq"].copy()),
+            }
+            for idx, ent in opt_sd["state"].items()
+        }
+    except ValueError:
+        opt_sd = None
+
     ckpt = {
         "iter": int(state.step),
-        "model_coarse_state_dict": _to_torch(state.params["coarse"]),
-        "model_fine_state_dict": _to_torch(state.params.get("fine")),
-        "optimizer_state_dict": None,
+        "model_coarse_state_dict": _to_torch(state.params["coarse"], "coarse"),
+        "model_fine_state_dict": _to_torch(state.params.get("fine"), "fine"),
+        "optimizer_state_dict": opt_sd,
         "loss": float(loss),
         "psnr": float(psnr),
         "background": (
@@ -196,3 +243,118 @@ def export_torch_checkpoint(
     }
     torch.save(ckpt, path)
     return path
+
+
+# -- optimizer-state interop --------------------------------------------------
+
+def _ordered_param_names(params: Dict[str, Any], key_order=None):
+    """The reference's optimizer param ordering: coarse weights, fine
+    weights (module registration order), latent codes, then the background
+    as its own param group (`train_transformed_rays.py:170-199`).
+
+    CAUTION: a params dict that has been through jit is key-SORTED (pytree
+    flattening sorts dict keys), which is not registration order. Pass
+    `key_order` = {"coarse": [names...], "fine": [...]} — e.g. from the
+    model's init() insertion order or a loaded torch state_dict's key
+    order — whenever reference-compatible indices matter."""
+    key_order = key_order or {}
+
+    def keys(scope):
+        return key_order.get(scope) or list(params[scope])
+
+    names = [("coarse", k) for k in keys("coarse")]
+    if params.get("fine") is not None:
+        names += [("fine", k) for k in keys("fine")]
+    if params.get("latent_codes") is not None:
+        names.append(("latent_codes", None))
+    if params.get("background") is not None:
+        names.append(("background", None))
+    return names
+
+
+def _find_adam_state(opt_state):
+    """Locate the ScaleByAdamState (count/mu/nu) inside an optax chain."""
+    for element in jax.tree_util.tree_leaves(
+        opt_state, is_leaf=lambda x: hasattr(x, "mu") and hasattr(x, "nu")
+    ):
+        if hasattr(element, "mu") and hasattr(element, "nu"):
+            return element
+    raise ValueError("no Adam state found in optimizer state")
+
+
+def _get_entry(tree, scope, key):
+    node = tree[scope]
+    return node if key is None else node[key]
+
+
+def _set_entry(tree, scope, key, value):
+    if key is None:
+        tree[scope] = value
+    else:
+        tree[scope] = dict(tree[scope])
+        tree[scope][key] = value
+
+
+def export_torch_optimizer_state(
+    state: TrainState, key_order=None
+) -> Dict[str, Any]:
+    """optax Adam moments -> torch.optim.Adam state_dict layout
+    ({'state': {idx: {step, exp_avg, exp_avg_sq}}, 'param_groups': [...]}),
+    indices following the reference's param registration order."""
+    adam = _find_adam_state(state.opt_state)
+    names = _ordered_param_names(state.params, key_order)
+    step = int(np.asarray(adam.count))
+    entries = {}
+    for idx, (scope, key) in enumerate(names):
+        mu = _get_entry(adam.mu, scope, key)
+        nu = _get_entry(adam.nu, scope, key)
+        if mu is None:
+            continue
+        entries[idx] = {
+            "step": step,
+            "exp_avg": np.asarray(mu),
+            "exp_avg_sq": np.asarray(nu),
+        }
+    group1 = list(range(len(names) - (1 if state.params.get("background") is not None else 0)))
+    groups = [{"params": group1}]
+    if state.params.get("background") is not None:
+        groups.append({"params": [len(names) - 1]})
+    return {"state": entries, "param_groups": groups}
+
+
+def import_torch_optimizer_state(
+    state: TrainState, torch_opt_sd: Dict[str, Any], key_order=None
+) -> TrainState:
+    """torch.optim.Adam state_dict -> optax Adam moments, so a reference
+    training run resumes seamlessly (the reference loads
+    optimizer_state_dict on resume, `train_transformed_rays.py:224`).
+    Missing entries (params never stepped) keep zero moments."""
+    adam = _find_adam_state(state.opt_state)
+    names = _ordered_param_names(state.params, key_order)
+    mu = {k: (dict(v) if isinstance(v, dict) else v) for k, v in adam.mu.items()}
+    nu = {k: (dict(v) if isinstance(v, dict) else v) for k, v in adam.nu.items()}
+    count = adam.count
+    entries = torch_opt_sd.get("state", {})
+    for idx, (scope, key) in enumerate(names):
+        ent = entries.get(idx, entries.get(str(idx)))
+        if ent is None:
+            continue
+        step = ent.get("step", 0)
+        count = jnp.asarray(
+            int(np.asarray(step)), dtype=jnp.asarray(adam.count).dtype
+        )
+        _set_entry(mu, scope, key, jnp.asarray(np.asarray(ent["exp_avg"])))
+        _set_entry(nu, scope, key, jnp.asarray(np.asarray(ent["exp_avg_sq"])))
+    new_adam = adam._replace(count=count, mu=mu, nu=nu)
+
+    def swap(node):
+        return new_adam if node is adam else node
+
+    new_opt_state = jax.tree_util.tree_map(
+        swap, state.opt_state,
+        is_leaf=lambda x: hasattr(x, "mu") and hasattr(x, "nu"),
+    )
+    return TrainState(
+        step=state.step, params=state.params, opt_state=new_opt_state,
+        fixed_background=state.fixed_background,
+    )

@@ -198,6 +198,16 @@ def train(
                 state, ckpt_lib.load_torch_checkpoint(load_checkpoint)
             )
 
+    # canonical (torch-registration) parameter order for checkpoint
+    # interop — params dicts that pass through jit come back key-sorted
+    canonical_order = {
+        "coarse": list(jax.eval_shape(model_coarse.init, jax.random.PRNGKey(0)))
+    }
+    if model_fine is not None:
+        canonical_order["fine"] = list(
+            jax.eval_shape(model_fine.init, jax.random.PRNGKey(0))
+        )
+
     settings = RenderSettings.from_cfg(cfg, mode="train")
     step_fn = make_train_step(
         model_coarse, model_fine, settings, flags, optimizer, mesh=mesh, dtype=dtype
@@ -265,6 +275,7 @@ def train(
                         state,
                         loss=float(metrics.get("total_loss", 0.0)),
                         psnr=float(metrics.get("psnr", 0.0)),
+                        key_order=canonical_order,
                     )
     finally:
         feed.stop()
