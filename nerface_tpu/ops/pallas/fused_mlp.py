@@ -134,13 +134,23 @@ def _unpack_weight_refs(refs):
     return W, i
 
 
-def _fwd_kernel(n_rays, n_samples, *refs):
-    pts_ref, dir_ref, cond0_ref, cond3_ref, C_ref, phase_ref = refs[:6]
-    W, used = _unpack_weight_refs(refs[6:])
-    out_ref = refs[6 + used]
+def _points_in_kernel(ro_ref, rd_ref, z_ref, n_rays, n_samples):
+    """pts = ro + rd·z computed in VMEM — materializing the (R, S, 3)
+    points array in HBM costs ~40 ms/frame at eval scale because the
+    3-wide minor dim pads to 128 lanes."""
+    ro = ro_ref[:]
+    rd = rd_ref[:]
+    z = z_ref[:]
+    pts = ro[:, None, :] + rd[:, None, :] * z[:, :, None]
+    return pts.reshape(n_rays * n_samples, 3)
 
-    tile = n_rays * n_samples
-    x3 = pts_ref[:].reshape(tile, 3)
+
+def _fwd_kernel(n_rays, n_samples, *refs):
+    ro_ref, rd_ref, z_ref, dir_ref, cond0_ref, cond3_ref, C_ref, phase_ref = refs[:8]
+    W, used = _unpack_weight_refs(refs[8:])
+    out_ref = refs[8 + used]
+
+    x3 = _points_in_kernel(ro_ref, rd_ref, z_ref, n_rays, n_samples)
     enc = _encode_in_kernel(x3, C_ref[:], phase_ref[:])
     rgb, alpha, _ = _trunk_forward(
         x3, enc, dir_ref[:], cond0_ref[:], cond3_ref[:], W, n_rays, n_samples
@@ -150,10 +160,10 @@ def _fwd_kernel(n_rays, n_samples, *refs):
 
 
 def _bwd_kernel(n_rays, n_samples, *refs):
-    pts_ref, dir_ref, cond0_ref, cond3_ref, C_ref, phase_ref = refs[:6]
-    W, used = _unpack_weight_refs(refs[6:])
-    g_ref = refs[6 + used]
-    outs = refs[7 + used:]
+    ro_ref, rd_ref, z_ref, dir_ref, cond0_ref, cond3_ref, C_ref, phase_ref = refs[:8]
+    W, used = _unpack_weight_refs(refs[8:])
+    g_ref = refs[8 + used]
+    outs = refs[9 + used:]
     # Output order: dW per WEIGHT_NAMES, db per BIAS_NAMES, dcond0, dcond3,
     # ddir (per-tile block).
     d_w = {name: outs[i] for i, name in enumerate(WEIGHT_NAMES)}
@@ -163,7 +173,7 @@ def _bwd_kernel(n_rays, n_samples, *refs):
     d_cond0_ref, d_cond3_ref, d_dir_ref = outs[nb], outs[nb + 1], outs[nb + 2]
 
     tile = n_rays * n_samples
-    x3 = pts_ref[:].reshape(tile, 3)
+    x3 = _points_in_kernel(ro_ref, rd_ref, z_ref, n_rays, n_samples)
     enc = _encode_in_kernel(x3, C_ref[:], phase_ref[:])
     enc_bf = enc.astype(jnp.bfloat16)
     rgb, alpha, a = _trunk_forward(
@@ -325,15 +335,25 @@ def _pick_fwd_rays_per_tile(n_rays: int, n_samples: int) -> int:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _fused(n_samples: int, rays_per_tile: int, pts, dir_c, cond0, cond3, C, phase, *weights):
+def _fused(n_samples: int, rays_per_tile: int, ro, rd, z, dir_c, cond0, cond3, C, phase, *weights):
     out, _ = _fused_fwd(
-        n_samples, rays_per_tile, pts, dir_c, cond0, cond3, C, phase, *weights
+        n_samples, rays_per_tile, ro, rd, z, dir_c, cond0, cond3, C, phase,
+        *weights
     )
     return out
 
 
-def _fused_fwd(n_samples, rays_per_tile, pts, dir_c, cond0, cond3, C, phase, *weights):
-    n_rays = pts.shape[0]
+def _ray_specs(tr, n_samples):
+    return [
+        pl.BlockSpec((tr, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tr, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tr, n_samples), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tr, DIR_HIDDEN), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+
+
+def _fused_fwd(n_samples, rays_per_tile, ro, rd, z, dir_c, cond0, cond3, C, phase, *weights):
+    n_rays = ro.shape[0]
     d_enc = C.shape[-1]
     # forward-only: larger tiles amortize per-grid-step overhead
     tr = _pick_fwd_rays_per_tile(n_rays, n_samples)
@@ -341,9 +361,7 @@ def _fused_fwd(n_samples, rays_per_tile, pts, dir_c, cond0, cond3, C, phase, *we
         tr = rays_per_tile
     grid = (n_rays // tr,)
 
-    in_specs = [
-        pl.BlockSpec((tr, n_samples, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tr, DIR_HIDDEN), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    in_specs = _ray_specs(tr, n_samples) + [
         _const_spec((1, HIDDEN)),
         _const_spec((1, HIDDEN)),
         _const_spec((3, d_enc)),
@@ -359,21 +377,19 @@ def _fused_fwd(n_samples, rays_per_tile, pts, dir_c, cond0, cond3, C, phase, *we
         ),
         out_shape=jax.ShapeDtypeStruct((n_rays, n_samples, 4), jnp.float32),
         interpret=_interpret(),
-    )(pts, dir_c, cond0, cond3, C, phase, *weights)
-    return out, (pts, dir_c, cond0, cond3, C, phase, weights)
+    )(ro, rd, z, dir_c, cond0, cond3, C, phase, *weights)
+    return out, (ro, rd, z, dir_c, cond0, cond3, C, phase, weights)
 
 
 def _fused_bwd(n_samples, rays_per_tile, residuals, g):
-    pts, dir_c, cond0, cond3, C, phase, weights = residuals
-    n_rays = pts.shape[0]
+    ro, rd, z, dir_c, cond0, cond3, C, phase, weights = residuals
+    n_rays = ro.shape[0]
     d_enc = C.shape[-1]
     tr = rays_per_tile
     grid = (n_rays // tr,)
     shapes = _weight_shapes(d_enc)
 
-    in_specs = [
-        pl.BlockSpec((tr, n_samples, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tr, DIR_HIDDEN), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    in_specs = _ray_specs(tr, n_samples) + [
         _const_spec((1, HIDDEN)),
         _const_spec((1, HIDDEN)),
         _const_spec((3, d_enc)),
@@ -408,7 +424,7 @@ def _fused_bwd(n_samples, rays_per_tile, residuals, g):
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=_interpret(),
-    )(pts, dir_c, cond0, cond3, C, phase, *weights, g)
+    )(ro, rd, z, dir_c, cond0, cond3, C, phase, *weights, g)
 
     nw = len(WEIGHT_NAMES)
     nb = nw + len(BIAS_NAMES)
@@ -419,9 +435,10 @@ def _fused_bwd(n_samples, rays_per_tile, residuals, g):
     d_cond0 = outs[nb]
     d_cond3 = outs[nb + 1]
     d_dir = outs[nb + 2]
-    d_pts = jnp.zeros_like(pts)  # sample positions carry no trainable grads
+    # ray geometry carries no trainable grads
     return (
-        d_pts, d_dir, d_cond0, d_cond3,
+        jnp.zeros_like(ro), jnp.zeros_like(rd), jnp.zeros_like(z),
+        d_dir, d_cond0, d_cond3,
         jnp.zeros_like(C), jnp.zeros_like(phase),
     ) + d_weights
 
@@ -431,21 +448,24 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 
 def fused_paper_mlp(
     params,
-    pts: jnp.ndarray,      # (R, S, 3) raw sample positions, f32
-    dir_contrib: jnp.ndarray,  # (R, 128) f32 — pe_dir @ W_dir0[:, 256:].T
-    cond: jnp.ndarray,     # (108,) = [expr/3; latent] per-frame vector
+    ray_origins: jnp.ndarray,   # (R, 3) f32
+    ray_directions: jnp.ndarray,  # (R, 3) f32
+    z_vals: jnp.ndarray,        # (R, S) f32 sample depths
+    dir_contrib: jnp.ndarray,   # (R, 128) f32 — pe_dir @ W_dir0[:, 256:].T
+    cond: jnp.ndarray,          # (108,) = [expr/3; latent] per-frame vector
     num_encoding_fn_xyz: int = 10,
     log_sampling_xyz: bool = True,
     rays_per_tile: int = 0,
 ) -> jnp.ndarray:
     """Fused forward of ConditionalBlendshapePaperNeRFModel; returns
-    (R, S, 4) radiance [rgb, sigma]. Positional encoding is computed inside
-    the kernel (include_input=True layout: [xyz, sin/cos bands]) — the big
-    (R, S, 63) PE array never exists in HBM. Differentiable w.r.t. params
-    and cond (and hence the latent-code table)."""
+    (R, S, 4) radiance [rgb, sigma]. Sample positions (ro + rd·z) AND their
+    positional encoding are computed inside the kernel — neither the
+    (R, S, 3) points nor the (R, S, 63) PE array ever exists in HBM.
+    Differentiable w.r.t. params and cond (and hence the latent-code
+    table)."""
     from nerface_tpu.ops.encoding import _encoding_matrix
 
-    n_rays, n_samples, _ = pts.shape
+    n_rays, n_samples = z_vals.shape
     if rays_per_tile <= 0:
         rays_per_tile = _pick_rays_per_tile(n_rays, n_samples)
     dc = cond.shape[-1]
@@ -494,6 +514,6 @@ def fused_paper_mlp(
         b("fc_rgb")[None, :],
     )
     return _fused(
-        n_samples, rays_per_tile, pts, dir_contrib, cond0, cond3, C, phase,
-        *weights
+        n_samples, rays_per_tile, ray_origins, ray_directions, z_vals,
+        dir_contrib, cond0, cond3, C, phase, *weights
     )

@@ -117,8 +117,8 @@ class RenderSettings:
 
 
 def _apply_model(
-    model, params, pts, encode_xyz: "EncodeSpec", pe_dir, expr, latent,
-    dtype, fused: str
+    model, params, ro, rd, z_vals, encode_xyz: "EncodeSpec", pe_dir,
+    expr, latent, dtype, fused: str
 ) -> jnp.ndarray:
     """Encode + evaluate the radiance field: dispatch to the fused Pallas
     MLP (which computes the positional encoding in VMEM) when eligible,
@@ -133,8 +133,8 @@ def _apply_model(
         if (
             want
             and isinstance(model, ConditionalBlendshapePaperNeRFModel)
-            and pts.ndim == 3
-            and pts.shape[-1] == 3
+            and ro.ndim == 2
+            and z_vals.ndim == 2
             and encode_xyz.include_input
             and pe_dir is not None
             and pe_dir.ndim == 2
@@ -152,19 +152,20 @@ def _apply_model(
                 fused_paper_mlp_available,
             )
 
-            tr = _pick_rays_per_tile(pts.shape[0], pts.shape[1])
-            if fused_paper_mlp_available(pts.shape[0], tr):
+            tr = _pick_rays_per_tile(z_vals.shape[0], z_vals.shape[1])
+            if fused_paper_mlp_available(z_vals.shape[0], tr):
                 cond = jnp.concatenate([expr * (1.0 / 3.0), latent])
                 dd = pe_dir.shape[-1]
                 dir_contrib = linear_cols(
                     params, "layers_dir.0", pe_dir, 256, 256 + dd
                 )
                 return fused_paper_mlp(
-                    params, pts, dir_contrib, cond,
+                    params, ro, rd, z_vals, dir_contrib, cond,
                     num_encoding_fn_xyz=encode_xyz.num_encoding_functions,
                     log_sampling_xyz=encode_xyz.log_sampling,
                     rays_per_tile=tr,
                 )
+    pts = ro[..., None, :] + rd[..., None, :] * z_vals[..., :, None]
     pe_xyz = encode_xyz(pts)
     return model.apply(
         params, pe_xyz, pe_dir,
@@ -230,8 +231,6 @@ def render_rays(
         k_strat, near, far, settings.num_coarse,
         lindisp=settings.lindisp, perturb=settings.perturb,
     )
-    pts = ro[..., None, :] + rd[..., None, :] * z_vals[..., :, None]
-
     pe_dir = None
     if settings.use_viewdirs and settings.encode_dir is not None:
         dir_src = rd if ray_directions_ablation is None else (
@@ -240,8 +239,8 @@ def render_rays(
         pe_dir = settings.encode_dir(_direction_branch_input(dir_src, near, far))
 
     radiance_coarse = _apply_model(
-        model_coarse, params_coarse, pts, settings.encode_xyz, pe_dir,
-        expressions, latent_code, dtype, settings.fused,
+        model_coarse, params_coarse, ro, rd, z_vals, settings.encode_xyz,
+        pe_dir, expressions, latent_code, dtype, settings.fused,
     )
     radiance_coarse = inject_background(radiance_coarse, background_prior)
 
@@ -282,11 +281,9 @@ def render_rays(
             det=(not settings.perturb),
         )
         z_all = merge_sorted_zvals(z_vals, z_samples)
-        pts_fine = ro[..., None, :] + rd[..., None, :] * z_all[..., :, None]
-
         radiance_fine = _apply_model(
-            model_fine, params_fine, pts_fine, settings.encode_xyz, pe_dir,
-            expressions, latent_code, dtype, settings.fused,
+            model_fine, params_fine, ro, rd, z_all, settings.encode_xyz,
+            pe_dir, expressions, latent_code, dtype, settings.fused,
         )
         radiance_fine = inject_background(radiance_fine, background_prior)
 

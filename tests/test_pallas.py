@@ -25,30 +25,39 @@ def setup():
     params = model.init(jax.random.PRNGKey(0))
     R, S = 8, 16
     rng = np.random.RandomState(0)
-    pts = jnp.asarray(rng.randn(R, S, 3).astype(np.float32) * 0.3)
+    ro = jnp.asarray(rng.randn(R, 3).astype(np.float32) * 0.1)
+    rd = jnp.asarray(rng.randn(R, 3).astype(np.float32))
+    z = jnp.asarray(np.cumsum(rng.rand(R, S).astype(np.float32) * 0.05, -1))
+    rays = (ro, rd, z)
     dirs = jnp.asarray(rng.randn(R, 3).astype(np.float32))
     pe_dir = positional_encoding(dirs, 4, False, True)
     expr = jnp.asarray(rng.randn(76).astype(np.float32) * 0.1)
     latent = jnp.asarray(rng.randn(32).astype(np.float32) * 0.1)
-    return model, params, pts, pe_dir, expr, latent
+    return model, params, rays, pe_dir, expr, latent
 
 
-def _fused_out(model, params, pts, pe_dir, expr, latent, tr=4):
+def _pts(rays):
+    ro, rd, z = rays
+    return ro[:, None, :] + rd[:, None, :] * z[:, :, None]
+
+
+def _fused_out(model, params, rays, pe_dir, expr, latent, tr=4):
     cond = jnp.concatenate([expr / 3.0, latent])
     dd = pe_dir.shape[-1]
     dir_contrib = linear_cols(params, "layers_dir.0", pe_dir, 256, 256 + dd)
+    ro, rd, z = rays
     return fused_paper_mlp(
-        params, pts, dir_contrib, cond, num_encoding_fn_xyz=10,
+        params, ro, rd, z, dir_contrib, cond, num_encoding_fn_xyz=10,
         rays_per_tile=tr,
     )
 
 
 class TestForwardParity:
     def test_matches_reference_apply(self, setup):
-        model, params, pts, pe_dir, expr, latent = setup
-        pe = positional_encoding(pts, 10, True, True)
+        model, params, rays, pe_dir, expr, latent = setup
+        pe = positional_encoding(_pts(rays), 10, True, True)
         ref = model.apply(params, pe, pe_dir, expr, latent)
-        out = _fused_out(model, params, pts, pe_dir, expr, latent)
+        out = _fused_out(model, params, rays, pe_dir, expr, latent)
         assert out.shape == ref.shape == (8, 16, 4)
         # bf16 matmuls vs f32 reference: relative tolerance ~1%
         scale = float(jnp.abs(ref).max())
@@ -57,29 +66,29 @@ class TestForwardParity:
         )
 
     def test_matches_bf16_apply_closely(self, setup):
-        model, params, pts, pe_dir, expr, latent = setup
-        pe = positional_encoding(pts, 10, True, True)
+        model, params, rays, pe_dir, expr, latent = setup
+        pe = positional_encoding(_pts(rays), 10, True, True)
         ref = model.apply(params, pe, pe_dir, expr, latent, dtype=jnp.bfloat16)
-        out = _fused_out(model, params, pts, pe_dir, expr, latent)
+        out = _fused_out(model, params, rays, pe_dir, expr, latent)
         scale = float(jnp.abs(ref).max())
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=0.005 * scale
         )
 
     def test_tile_size_invariance(self, setup):
-        model, params, pts, pe_dir, expr, latent = setup
-        o1 = _fused_out(model, params, pts, pe_dir, expr, latent, tr=2)
-        o2 = _fused_out(model, params, pts, pe_dir, expr, latent, tr=8)
+        model, params, rays, pe_dir, expr, latent = setup
+        o1 = _fused_out(model, params, rays, pe_dir, expr, latent, tr=2)
+        o2 = _fused_out(model, params, rays, pe_dir, expr, latent, tr=8)
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
 
 
 class TestGradientParity:
     def test_weight_and_latent_grads(self, setup):
-        model, params, pts, pe_dir, expr, latent = setup
-        pe = positional_encoding(pts, 10, True, True)
+        model, params, rays, pe_dir, expr, latent = setup
+        pe = positional_encoding(_pts(rays), 10, True, True)
 
         def loss_fused(params, latent):
-            return jnp.sum(_fused_out(model, params, pts, pe_dir, expr, latent) ** 2)
+            return jnp.sum(_fused_out(model, params, rays, pe_dir, expr, latent) ** 2)
 
         def loss_ref(params, latent):
             return jnp.sum(
@@ -99,9 +108,9 @@ class TestGradientParity:
         assert rel < 0.05
 
     def test_grads_are_nonzero_everywhere(self, setup):
-        model, params, pts, pe_dir, expr, latent = setup
+        model, params, rays, pe_dir, expr, latent = setup
         g = jax.grad(
-            lambda p: jnp.sum(_fused_out(model, p, pts, pe_dir, expr, latent) ** 2)
+            lambda p: jnp.sum(_fused_out(model, p, rays, pe_dir, expr, latent) ** 2)
         )(params)
         for k, v in g.items():
             if k.startswith("layers_dir.3"):
