@@ -26,7 +26,6 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from nerface_tpu.config import load_config

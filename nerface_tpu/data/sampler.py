@@ -17,8 +17,6 @@ A device-side jit variant is provided for fully on-device feeds.
 
 from __future__ import annotations
 
-from typing import List, Optional
-
 import numpy as np
 
 

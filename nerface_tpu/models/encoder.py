@@ -13,8 +13,6 @@ Parameter names mirror the torch Sequential state_dict
 
 from __future__ import annotations
 
-from typing import Dict
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -24,7 +24,7 @@ weight and bias) so training trajectories are comparable.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

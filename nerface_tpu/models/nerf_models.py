@@ -17,7 +17,7 @@ single vectors (see models/mlp.py). Both paths compute the same math.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

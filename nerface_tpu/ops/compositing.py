@@ -20,7 +20,7 @@ sigma-noise draw uses an explicit PRNG key.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -26,11 +26,9 @@ the latent-code table / full weight matrices through the JAX-side folds.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 try:  # pallas import can fail on exotic backends; gate cleanly
     from jax.experimental import pallas as pl

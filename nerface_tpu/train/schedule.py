@@ -8,7 +8,6 @@ schedule evaluated inside the jitted step.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 
 
 def exponential_lr(lr_init: float, lr_decay: float, lr_decay_factor: float = 0.1):

@@ -11,8 +11,6 @@ a quirk kept for behavioral parity — and convolves with padding=5.
 from __future__ import annotations
 
 import math
-from typing import Sequence, Union
-
 import jax
 import jax.numpy as jnp
 import numpy as np

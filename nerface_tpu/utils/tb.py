@@ -11,8 +11,6 @@ config snapshot is dumped to `logdir/config.yml` on construction.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 
