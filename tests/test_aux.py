@@ -93,3 +93,33 @@ class TestGenerateSyntheticCLI:
               "--n-test", "1", "--size", "12", "--sampling", mode])
         ds = load_flame_data(target)
         assert len(ds.images) == 4
+
+
+class TestDumpRays:
+    def test_writes_valid_ply(self, tmp_path):
+        from nerface_tpu.utils.debug_viz import dump_rays
+
+        rng = np.random.RandomState(0)
+        R, S = 2000, 8
+        points = rng.randn(R, S, 3).astype(np.float32)
+        rf = rng.rand(R, S, 4).astype(np.float32)
+        rf[..., 3] = rng.rand(R, S) * 40  # some high densities
+        origins = rng.randn(5, 3)
+        path = str(tmp_path / "rays.ply")
+        n = dump_rays(origins, points, rf, path=path, stride=1,
+                      include_origins=True)
+        lines = open(path).read().splitlines()
+        assert lines[0] == "ply"
+        assert f"element vertex {n}" in lines[2]
+        assert lines[9] == "end_header"
+        body = [l for l in lines[10:] if l]
+        assert len(body) == n
+        assert all(len(l.split()) == 6 for l in body)  # x y z r g b
+
+    def test_threshold_filters(self, tmp_path):
+        from nerface_tpu.utils.debug_viz import dump_rays
+
+        rf = np.zeros((100, 4, 4), np.float32)  # zero density everywhere
+        n = dump_rays(np.zeros((1, 3)), np.zeros((100, 4, 3)), rf,
+                      path=str(tmp_path / "e.ply"))
+        assert n == 0
