@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num-devices", type=int, default=0,
                         help="Shard each frame's rays over this many "
                              "devices (0 = single device).")
+    parser.add_argument("--matmul-precision", type=str, default=None,
+                        choices=["default", "high", "highest"],
+                        help="XLA matmul precision ('highest' = strict f32).")
     parser.add_argument("--no-background", action="store_true")
     parser.add_argument("--no-expressions", action="store_true")
     parser.add_argument("--no-lcode", action="store_true")
@@ -73,6 +76,11 @@ def main(argv=None) -> None:
         ),
     )
     flags = dataclasses.replace(flags, **overrides)
+
+    if args.matmul_precision:
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", args.matmul_precision)
 
     mesh = None
     if args.num_devices and args.num_devices > 1:

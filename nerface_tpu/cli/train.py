@@ -44,6 +44,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--debug-nans", action="store_true",
         help="Fail fast on NaNs inside jitted code (jax_debug_nans).",
     )
+    parser.add_argument(
+        "--matmul-precision", type=str, default=None,
+        choices=["default", "high", "highest"],
+        help="XLA matmul precision. TPUs run f32 matmuls in bf16-multipass "
+             "form by default; pass 'highest' for strict-f32 reference "
+             "parity (slower).",
+    )
     return parser
 
 
@@ -56,6 +63,9 @@ def main(argv=None) -> None:
 
     from nerface_tpu.config import load_config
     from nerface_tpu.train.loop import train
+
+    if args.matmul_precision:
+        jax.config.update("jax_default_matmul_precision", args.matmul_precision)
 
     mesh = None
     if args.num_devices and args.num_devices > 1:
