@@ -329,7 +329,7 @@ def _pick_rays_per_tile(n_rays: int, n_samples: int, target: int = 1024) -> int:
 
 
 def _pick_fwd_rays_per_tile(n_rays: int, n_samples: int) -> int:
-    return _pick_rays_per_tile(n_rays, n_samples, target=2048)
+    return _pick_rays_per_tile(n_rays, n_samples, target=4096)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
