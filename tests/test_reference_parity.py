@@ -130,6 +130,26 @@ class TestOpsParity:
         np.testing.assert_allclose(np.asarray(acc_j), acc_t.numpy(), atol=1e-5)
         np.testing.assert_allclose(np.asarray(w_j), w_t.numpy(), atol=1e-5)
 
+    def test_volume_render_white_background(self, ref, np_rng):
+        """white_background applies rgb + (1 - acc)
+        (`volume_rendering_utils.py:71-72`)."""
+        from nerface_tpu.ops.compositing import volume_render_radiance_field
+
+        R, S = 5, 7
+        radiance = np_rng.randn(R, S, 4).astype(np.float32)
+        z = np.sort(np_rng.rand(R, S).astype(np.float32), axis=-1)
+        rd = np_rng.randn(R, 3).astype(np.float32)
+        rgb_t, _, acc_t, _, _ = ref.vru.volume_render_radiance_field(
+            torch.from_numpy(radiance), torch.from_numpy(z),
+            torch.from_numpy(rd), radiance_field_noise_std=0.0,
+            white_background=True,
+        )
+        rgb_j, _, acc_j, _, _ = volume_render_radiance_field(
+            radiance, z, rd, radiance_field_noise_std=0.0,
+            white_background=True, return_depth=True,
+        )
+        np.testing.assert_allclose(np.asarray(rgb_j), rgb_t.numpy(), atol=1e-5)
+
     def test_volume_render_no_background(self, ref, np_rng):
         from nerface_tpu.ops.compositing import volume_render_radiance_field
 
