@@ -157,7 +157,20 @@ def evaluate(
     if flags.no_lcode:
         use_latent_code = True
         latent_codes = jnp.zeros((5000, 32), jnp.float32)
-    idx_map = dataset.load_index_map() if use_latent_code else None
+    idx_map = None
+    if use_latent_code:
+        try:
+            idx_map = dataset.load_index_map()
+        except FileNotFoundError:
+            # the reference hard-requires index_map.npy
+            # (`eval_transformed_rays.py:329`); fall back to an identity
+            # map with a warning so datasets without one still render
+            print(
+                "WARNING: index_map.npy not found; using identity "
+                "latent-code mapping"
+            )
+            n = len(dataset.poses)
+            idx_map = np.stack([np.arange(n), np.arange(n)], axis=-1)
 
     render_poses = dataset.poses[dataset.i_test]
     render_expressions = dataset.expressions[dataset.i_test].copy()

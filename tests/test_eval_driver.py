@@ -175,3 +175,24 @@ class TestImageHelpers:
         e = error_image(a, b)
         assert e.shape == (8, 8, 3) and e.dtype == np.uint8
         assert (error_image(a, a) == jet_colormap(np.zeros((8, 8)))).all()
+
+
+class TestMissingIndexMap:
+    def test_identity_fallback(self, trained, tmp_path):
+        """Eval on a dataset without index_map.npy warns and renders with
+        identity latent mapping instead of crashing (the reference would
+        crash, `eval_transformed_rays.py:329`)."""
+        import shutil
+
+        cfg, ckpt, tmp = trained
+        imap = os.path.join(cfg.dataset.basedir, "index_map.npy")
+        backup = str(tmp_path / "index_map.npy")
+        shutil.move(imap, backup)
+        try:
+            summary = evaluate(
+                cfg, ckpt, str(tmp_path / "r"), EvalFlags(), max_frames=1,
+                log=False,
+            )
+            assert summary["frames"] == 1.0
+        finally:
+            shutil.move(backup, imap)
