@@ -78,11 +78,17 @@ def _render_frame_jit(
     )
     keys = jax.random.split(key, ro_t.shape[0])
 
+    # Eval is never differentiated: allow the forward-only fused render
+    # (MLP + compositing in one kernel) for the fine pass.
+    import dataclasses as _dc
+
+    tile_settings = _dc.replace(settings, fused_render=True)
+
     def render_tile(args):
         ro_i, rd_i, key_i, bg_i, abl_i = args
         out = render_rays(
             model_coarse, model_fine, params_coarse, params_fine,
-            ro_i, rd_i, settings, key=key_i,
+            ro_i, rd_i, tile_settings, key=key_i,
             expressions=expressions, latent_code=latent_code,
             background_prior=bg_i, ray_directions_ablation=abl_i,
             dtype=dtype,
@@ -197,11 +203,15 @@ def _render_frame_sharded(
         bg_t = bg_s.reshape(-1, tile, 3) if bg_s is not None else None
         abl_t = abl_s.reshape(-1, tile, 3) if abl_s is not None else None
 
+        import dataclasses as _dc
+
+        tile_settings = _dc.replace(settings, fused_render=True)
+
         def render_tile(args):
             ro_i, rd_i, key_i, bg_i, abl_i = args
             out = render_rays(
                 model_coarse, model_fine, params_coarse, params_fine,
-                ro_i, rd_i, settings, key=key_i,
+                ro_i, rd_i, tile_settings, key=key_i,
                 expressions=expressions, latent_code=latent_code,
                 background_prior=bg_i, ray_directions_ablation=abl_i,
                 dtype=dtype,

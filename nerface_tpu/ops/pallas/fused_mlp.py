@@ -515,3 +515,200 @@ def fused_paper_mlp(
         n_samples, rays_per_tile, ray_origins, ray_directions, z_vals,
         dir_contrib, cond0, cond3, C, phase, *weights
     )
+
+
+# -- fused render (forward-only): MLP + volume compositing in one kernel ----
+
+def _render_kernel(n_rays, n_samples, has_bg, white_background, *refs):
+    """Evaluate the radiance field AND composite it per ray tile — the
+    (R, S, 4) radiance never exists in HBM. Eval-path only (no VJP; sigma
+    noise must be 0). cumprod_exclusive is computed as
+    exp(log(1-alpha+1e-10) @ U) with U strictly upper triangular — a tiny
+    (S, S) MXU matmul instead of a scan, which Mosaic cannot lower.
+    Outputs are separate refs per map (Mosaic rejects packing maps of
+    different widths into one concatenated output)."""
+    ro_ref, rd_ref, z_ref, dir_ref, cond0_ref, cond3_ref, C_ref, phase_ref = refs[:8]
+    i = 8
+    if has_bg:
+        bg_ref = refs[i]
+        i += 1
+    tri_ref = refs[i]
+    i += 1
+    W, used = _unpack_weight_refs(refs[i:])
+    rgb_ref, disp_ref, acc_ref, depth_ref, bgw_ref = refs[i + used:i + used + 5]
+
+    x3 = _points_in_kernel(ro_ref, rd_ref, z_ref, n_rays, n_samples)
+    enc = _encode_in_kernel(x3, C_ref[:], phase_ref[:])
+    rgb_raw, alpha_raw, _ = _trunk_forward(
+        x3, enc, dir_ref[:], cond0_ref[:], cond3_ref[:], W, n_rays, n_samples
+    )
+    rgb = rgb_raw.reshape(n_rays, n_samples, 3)
+    sigma = alpha_raw.reshape(n_rays, n_samples)
+
+    z = z_ref[:]
+    rd = rd_ref[:]
+    # dists: z-deltas, 1e10 on the last sample, scaled by |rd|
+    # (`volume_rendering_utils.py:17-27`)
+    d = jnp.concatenate(
+        [z[:, 1:] - z[:, :-1], jnp.full((n_rays, 1), 1e10, z.dtype)], axis=-1
+    )
+    rd_norm = jnp.sqrt(jnp.sum(rd * rd, axis=-1, keepdims=True))
+    d = d * rd_norm
+
+    is_last = (
+        jax.lax.broadcasted_iota(jnp.int32, (n_rays, n_samples), 1)
+        == n_samples - 1
+    )
+    rgb_act = jax.nn.sigmoid(rgb)
+    if has_bg:
+        # background injection: the LAST sample's rgb is the raw background
+        # pixel, no sigmoid (`train_utils.py:95-96`, `vru.py:29-31`).
+        # Arithmetic select: Mosaic can't insert a minor dim on the bool mask.
+        m_last = is_last.astype(jnp.float32)[..., None]
+        rgb_act = rgb_act * (1.0 - m_last) + bg_ref[:][:, None, :] * m_last
+    sigma_a = jax.nn.relu(sigma) + jnp.where(is_last, 1e-6, 0.0)
+
+    # one_minus_alpha computed directly as exp(-sigma*d): writing it as
+    # `1.0 - alpha + 1e-10` lets Mosaic reassociate to (1+1e-10) - alpha,
+    # which rounds to exactly 0 when alpha == 1 and log() returns -inf
+    one_minus_alpha = jnp.exp(-sigma_a * d)
+    alpha = 1.0 - one_minus_alpha
+    log_t = jnp.log(one_minus_alpha + 1e-10)
+    # exclusive cumprod via strictly-upper-triangular matmul (f32 MXU)
+    trans = jnp.exp(
+        jax.lax.dot_general(
+            log_t, tri_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    )
+    weights = alpha * trans
+
+    rgb_map = jnp.sum(weights[..., None] * rgb_act, axis=1)
+    depth_map = jnp.sum(weights * z, axis=1, keepdims=True)
+    acc_map = jnp.sum(weights, axis=1, keepdims=True)
+    disp_map = 1.0 / jnp.maximum(
+        1e-10, depth_map / jnp.maximum(acc_map, 1e-38)
+    )
+    if white_background:
+        rgb_map = rgb_map + (1.0 - acc_map)
+
+    rgb_ref[:] = rgb_map
+    disp_ref[:] = disp_map
+    acc_ref[:] = acc_map
+    depth_ref[:] = depth_map
+    bgw_ref[:] = weights[:, n_samples - 1:n_samples]
+
+
+def fused_paper_render(
+    params,
+    ray_origins: jnp.ndarray,
+    ray_directions: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    dir_contrib: jnp.ndarray,
+    cond: jnp.ndarray,
+    background=None,
+    white_background: bool = False,
+    num_encoding_fn_xyz: int = 10,
+    log_sampling_xyz: bool = True,
+):
+    """Forward-only fused render: radiance evaluation + alpha compositing
+    per ray tile. Returns dict(rgb (R,3), disp, acc, depth, bg_weight
+    (R,)). Semantics identical to inject_background +
+    volume_render_radiance_field at noise_std=0."""
+    from nerface_tpu.ops.encoding import _encoding_matrix
+
+    n_rays, n_samples = z_vals.shape
+    tr = _pick_fwd_rays_per_tile(n_rays, n_samples)
+    if n_rays % tr:
+        tr = _pick_rays_per_tile(n_rays, n_samples)
+    dc = cond.shape[-1]
+    d_pe = 3 + 2 * num_encoding_fn_xyz * 3
+
+    C_np, phase_np = _encoding_matrix(3, num_encoding_fn_xyz, log_sampling_xyz)
+    C = jnp.asarray(C_np)
+    phase = jnp.asarray(phase_np)[None, :]
+    # strictly upper triangular: column i sums log-terms j < i
+    tri = jnp.triu(jnp.ones((n_samples, n_samples), jnp.float32), k=1)
+
+    def w(name):
+        return params[name + ".weight"]
+
+    def b(name):
+        return params[name + ".bias"]
+
+    bf16 = jnp.bfloat16
+    cond0 = (w("layers_xyz.0")[:, d_pe:d_pe + dc] @ cond + b("layers_xyz.0"))[None, :]
+    cond3 = (w("layers_xyz.3")[:, d_pe:d_pe + dc] @ cond + b("layers_xyz.3"))[None, :]
+    weights = (
+        w("layers_xyz.0")[:, :3].T.astype(bf16),
+        w("layers_xyz.0")[:, 3:d_pe].T.astype(bf16),
+        w("layers_xyz.1").T.astype(bf16),
+        w("layers_xyz.2").T.astype(bf16),
+        w("layers_xyz.3")[:, :3].T.astype(bf16),
+        w("layers_xyz.3")[:, 3:d_pe].T.astype(bf16),
+        w("layers_xyz.3")[:, d_pe + dc:].T.astype(bf16),
+        w("layers_xyz.4").T.astype(bf16),
+        w("layers_xyz.5").T.astype(bf16),
+        w("fc_feat").T.astype(bf16),
+        w("fc_alpha").T.astype(bf16),
+        w("layers_dir.0")[:, :HIDDEN].T.astype(bf16),
+        w("layers_dir.1").T.astype(bf16),
+        w("layers_dir.2").T.astype(bf16),
+        w("fc_rgb").T.astype(bf16),
+        b("layers_xyz.1")[None, :],
+        b("layers_xyz.2")[None, :],
+        b("layers_xyz.4")[None, :],
+        b("layers_xyz.5")[None, :],
+        b("fc_feat")[None, :],
+        b("fc_alpha")[None, :],
+        b("layers_dir.0")[None, :],
+        b("layers_dir.1")[None, :],
+        b("layers_dir.2")[None, :],
+        b("fc_rgb")[None, :],
+    )
+
+    has_bg = background is not None
+    grid = (n_rays // tr,)
+    d_enc = C.shape[-1]
+    in_specs = _ray_specs(tr, n_samples) + [
+        _const_spec((1, HIDDEN)),
+        _const_spec((1, HIDDEN)),
+        _const_spec((3, d_enc)),
+        _const_spec((1, d_enc)),
+    ]
+    args = [ray_origins, ray_directions, z_vals, dir_contrib, cond0, cond3,
+            C, phase]
+    if has_bg:
+        in_specs.append(
+            pl.BlockSpec((tr, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(background)
+    in_specs.append(_const_spec((n_samples, n_samples)))
+    args.append(tri)
+    in_specs += _weight_specs(d_enc)
+    args += list(weights)
+
+    def _out(width):
+        return (
+            pl.BlockSpec((tr, width), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            jax.ShapeDtypeStruct((n_rays, width), jnp.float32),
+        )
+
+    out_specs, out_shapes = zip(*[_out(3), _out(1), _out(1), _out(1), _out(1)])
+    rgb, disp, acc, depth, bgw = pl.pallas_call(
+        functools.partial(
+            _render_kernel, tr, n_samples, has_bg, white_background
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=list(out_specs),
+        out_shape=list(out_shapes),
+        interpret=_interpret(),
+    )(*args)
+    return {
+        "rgb": rgb,
+        "disp": disp[:, 0],
+        "acc": acc[:, 0],
+        "depth": depth[:, 0],
+        "bg_weight": bgw[:, 0],
+    }

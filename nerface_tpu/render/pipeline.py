@@ -84,6 +84,10 @@ class RenderSettings:
     # TPU backend and the model is the flagship paper model; "on"/"off"
     # force. f32 (dtype=None) stays on the XLA path for reference parity.
     fused: str = "auto"
+    # Fused render (MLP + compositing in one kernel) for the fine pass.
+    # Forward-only — set internally by the full-frame eval renderer, never
+    # on a differentiated path (the render kernel has no VJP).
+    fused_render: bool = False
 
     @classmethod
     def from_cfg(cls, cfg, mode: str = "train") -> "RenderSettings":
@@ -173,6 +177,36 @@ def _apply_model(
         latent if model.takes_latent else None,
         dtype=dtype,
     )
+
+
+def _fused_render_eligible(
+    model, ro, z_all, pe_dir, expr, latent, settings: "RenderSettings"
+) -> bool:
+    """Static eligibility for the forward-only fused render kernel."""
+    if not settings.fused_render or settings.fused == "off":
+        return False
+    if settings.radiance_field_noise_std > 0.0:
+        return False
+    from nerface_tpu.models.nerf_models import ConditionalBlendshapePaperNeRFModel
+    from nerface_tpu.ops.pallas.fused_mlp import (
+        _pick_rays_per_tile,
+        fused_paper_mlp_available,
+    )
+
+    if not isinstance(model, ConditionalBlendshapePaperNeRFModel):
+        return False
+    if pe_dir is None or expr is None or latent is None:
+        return False
+    if expr.ndim != 1 or latent.ndim != 1:
+        return False
+    if not settings.encode_xyz.include_input:
+        return False
+    if model.dim_xyz != 3 + 6 * settings.encode_xyz.num_encoding_functions:
+        return False
+    if model.dim_dir < pe_dir.shape[-1]:
+        return False
+    tr = _pick_rays_per_tile(ro.shape[0], z_all.shape[-1])
+    return fused_paper_mlp_available(ro.shape[0], tr)
 
 
 def _direction_branch_input(
@@ -281,6 +315,36 @@ def render_rays(
             det=(not settings.perturb),
         )
         z_all = merge_sorted_zvals(z_vals, z_samples)
+        if _fused_render_eligible(
+            model_fine, ro, z_all, pe_dir, expressions, latent_code, settings
+        ):
+            from nerface_tpu.models.mlp import linear_cols
+            from nerface_tpu.ops.pallas.fused_mlp import fused_paper_render
+
+            cond = jnp.concatenate(
+                [expressions * (1.0 / 3.0), latent_code]
+            )
+            dd = pe_dir.shape[-1]
+            dir_contrib = linear_cols(
+                params_fine, "layers_dir.0", pe_dir, 256, 256 + dd
+            )
+            fr = fused_paper_render(
+                params_fine, ro, rd, z_all, dir_contrib, cond,
+                background=background_prior,
+                white_background=settings.white_background,
+                num_encoding_fn_xyz=settings.encode_xyz.num_encoding_functions,
+                log_sampling_xyz=settings.encode_xyz.log_sampling,
+            )
+            out.update(
+                rgb_fine=fr["rgb"], disp_fine=fr["disp"],
+                acc_fine=fr["acc"], depth_fine=fr["depth"],
+            )
+            # full per-sample fine weights never leave this function's
+            # consumers (only bg_weight does) — not materialized here
+            out["weights"] = None
+            out["bg_weight"] = fr["bg_weight"]
+            return out
+
         radiance_fine = _apply_model(
             model_fine, params_fine, ro, rd, z_all, settings.encode_xyz,
             pe_dir, expressions, latent_code, dtype, settings.fused,

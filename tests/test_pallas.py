@@ -148,3 +148,59 @@ class TestEncodingEquivalence:
             naive.append(np.cos(scaled[:, k]))
         naive = np.concatenate(naive, axis=-1)
         np.testing.assert_allclose(np.asarray(got), naive, atol=1e-5)
+
+
+class TestFusedRender:
+    """Forward-only fused render (MLP + compositing in one kernel)."""
+
+    def _inputs(self, R=8, S=16):
+        rng = np.random.RandomState(0)
+        ro = jnp.asarray(rng.randn(R, 3).astype(np.float32) * 0.1)
+        rd = jnp.asarray(rng.randn(R, 3).astype(np.float32))
+        z = jnp.asarray(np.cumsum(rng.rand(R, S).astype(np.float32) * 0.05, -1))
+        dc = jnp.asarray(rng.randn(R, 128).astype(np.float32) * 0.1)
+        cond = jnp.asarray(rng.randn(108).astype(np.float32) * 0.1)
+        bg = jnp.asarray(rng.rand(R, 3).astype(np.float32))
+        return ro, rd, z, dc, cond, bg
+
+    @pytest.mark.parametrize("with_bg,wbg", [(True, False), (False, False),
+                                             (True, True)],
+                             ids=["bg", "nobg", "whitebg"])
+    def test_matches_unfused_composite(self, setup, with_bg, wbg):
+        from nerface_tpu.ops.compositing import (
+            inject_background,
+            volume_render_radiance_field,
+        )
+        from nerface_tpu.ops.pallas.fused_mlp import fused_paper_render
+
+        model, params, _, _, _, _ = setup
+        ro, rd, z, dc, cond, bg = self._inputs()
+        bgx = bg if with_bg else None
+        rad = inject_background(
+            fused_paper_mlp(params, ro, rd, z, dc, cond, rays_per_tile=8), bgx
+        )
+        rgb, disp, acc, w, depth = volume_render_radiance_field(
+            rad, z, rd, radiance_field_noise_std=0.0, background_prior=bgx,
+            white_background=wbg, return_depth=True,
+        )
+        out = fused_paper_render(
+            params, ro, rd, z, dc, cond, background=bgx, white_background=wbg
+        )
+        np.testing.assert_allclose(np.asarray(out["rgb"]), np.asarray(rgb), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["disp"]), np.asarray(disp), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out["acc"]), np.asarray(acc), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["depth"]), np.asarray(depth), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(out["bg_weight"]), np.asarray(w[:, -1]), atol=1e-6
+        )
+
+    def test_opaque_ray_no_nan(self, setup):
+        """alpha == 1.0 exactly (huge sigma) must not produce NaN — guards
+        the (1 - alpha + eps) reassociation bug the kernel works around."""
+        from nerface_tpu.ops.pallas.fused_mlp import fused_paper_render
+
+        model, params, _, _, _, _ = setup
+        ro, rd, z, dc, cond, bg = self._inputs()
+        out = fused_paper_render(params, ro, rd, z, dc, cond, background=bg)
+        for k, v in out.items():
+            assert np.isfinite(np.asarray(v)).all(), k
