@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="Fail fast on NaNs inside jitted code (jax_debug_nans).",
     )
     parser.add_argument(
+        "--device-feed", action="store_true",
+        help="Sample ray batches fully on device (jitted Gumbel top-k) "
+             "instead of the host feed.",
+    )
+    parser.add_argument(
         "--matmul-precision", type=str, default=None,
         choices=["default", "high", "highest"],
         help="XLA matmul precision. TPUs run f32 matmuls in bf16-multipass "
@@ -94,6 +99,7 @@ def main(argv=None) -> None:
             mesh=mesh,
             export_torch=args.export_torch,
             dtype=jnp.bfloat16 if args.bf16 else None,
+            device_feed=args.device_feed,
         )
 
 

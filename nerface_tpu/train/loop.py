@@ -162,6 +162,7 @@ def train(
     log: bool = True,
     export_torch: bool = False,
     dtype=None,
+    device_feed: bool = False,
 ) -> TrainState:
     """Run training per the config; returns the final TrainState."""
     flags = FeatureFlags.from_cfg(cfg)
@@ -213,12 +214,38 @@ def train(
         model_coarse, model_fine, settings, flags, optimizer, mesh=mesh, dtype=dtype
     )
 
-    feed = RayFeed(
-        dataset,
-        num_rays=int(cfg.nerf.train.num_random_rays),
-        background=background if flags.fixed_background else None,
-        seed=seed,
-    ).start()
+    if device_feed:
+        # fully on-device sampling: frame pick + Gumbel top-k + gathers in
+        # one jitted fn; no per-step host work (scale-out variant)
+        from nerface_tpu.data.device_feed import DeviceRayFeed
+
+        sampler = DeviceRayFeed(
+            dataset,
+            num_rays=int(cfg.nerf.train.num_random_rays),
+            background=background if flags.fixed_background else None,
+        ).make_sampler()
+        feed_key = jax.random.PRNGKey(seed + 1)
+
+        class _DeviceFeedIter:
+            def start(self):
+                return self
+
+            def stop(self):
+                pass
+
+            def __next__(self):
+                nonlocal feed_key
+                feed_key, sub = jax.random.split(feed_key)
+                return sampler(sub)
+
+        feed = _DeviceFeedIter()
+    else:
+        feed = RayFeed(
+            dataset,
+            num_rays=int(cfg.nerf.train.num_random_rays),
+            background=background if flags.fixed_background else None,
+            seed=seed,
+        ).start()
 
     train_iters = int(max_iters if max_iters is not None else cfg.experiment.train_iters)
     validate_every = int(cfg.experiment.validate_every)
