@@ -11,6 +11,11 @@ a 5000-frame 512² dataset is ~3.9 GB) and normalized after the gather.
 The sampled batch dict is identical in schema to RayFeed's, so it drops
 into `make_train_step` unchanged; under a mesh the same sampler runs with
 a per-device key and each chip draws its own ray batch.
+
+Measured single-chip: ~21 ms/step vs the host feed's ~17 ms — the 262k-wide
+top_k shares the one TPU core with the train step, while the host feed's
+sampling runs concurrently on CPU threads. Use this feed when the host
+would bottleneck (many chips per host, or hosts without the C++ sampler).
 """
 
 from __future__ import annotations
