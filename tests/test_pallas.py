@@ -204,3 +204,69 @@ class TestFusedRender:
         out = fused_paper_render(params, ro, rd, z, dc, cond, background=bg)
         for k, v in out.items():
             assert np.isfinite(np.asarray(v)).all(), k
+
+
+class TestFusedRenderIntegration:
+    def test_full_frame_render_parity(self, setup, monkeypatch):
+        """render_full_frame with the fused-render branch forced on (CPU
+        interpret) equals the unfused render."""
+        import dataclasses
+
+        from nerface_tpu.eval.renderer import render_full_frame
+
+        def dataclasses_replace_chunk(s):
+            # new static identity -> fresh trace under the patch
+            return dataclasses.replace(s, chunksize=s.chunksize + 1)
+        from nerface_tpu.render.pipeline import EncodeSpec, RenderSettings
+
+        model, params, _, _, expr, latent = setup
+        H = W = 12
+        intr = np.array([15.0, 15.0, 0.5, 0.5], np.float32)
+        pose = np.eye(4, dtype=np.float32)[:3, :4]
+        pose[2, 3] = 0.5
+        rng = np.random.RandomState(0)
+        bg = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))
+        settings = RenderSettings(
+            num_coarse=4, num_fine=4, perturb=False,
+            radiance_field_noise_std=0.0, near=0.2, far=0.8,
+            encode_xyz=EncodeSpec(10, True, True),
+            encode_dir=EncodeSpec(4, False, True), chunksize=48, fused="on",
+        )
+        kwargs = dict(
+            key=jax.random.PRNGKey(1), expressions=expr, latent_code=latent,
+            background=bg,
+        )
+        # tile=72 on both sides; the unfused baseline is traced BEFORE the
+        # eligibility patch, the fused render after (different-trace
+        # guarantee: _render_frame_jit caches on static args, so the same
+        # tile+settings would silently reuse the unfused trace)
+        base = render_full_frame(
+            model, model, params, params, H, W, intr, pose, settings,
+            tile=72, **kwargs
+        )
+        # force eligibility (the gate requires a TPU backend; the kernel
+        # itself runs in interpret mode on CPU)
+        from nerface_tpu.ops.pallas import fused_mlp as fm
+
+        monkeypatch.setattr(
+            fm, "fused_paper_mlp_available", lambda n, tr: n % tr == 0
+        )
+        engaged = []
+        orig = fm.fused_paper_render
+
+        def spy(*a, **k):
+            engaged.append(True)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(fm, "fused_paper_render", spy)
+        import nerface_tpu.render.pipeline as _pm
+        fused = render_full_frame(
+            model, model, params, params, H, W, intr, pose,
+            dataclasses_replace_chunk(settings), tile=72, **kwargs
+        )
+        assert engaged, "fused render branch did not engage"
+        for k in ("rgb_fine", "disp_fine", "acc_fine", "bg_weight"):
+            np.testing.assert_allclose(
+                np.asarray(fused[k]), np.asarray(base[k]), atol=2e-3,
+                err_msg=k,
+            )
