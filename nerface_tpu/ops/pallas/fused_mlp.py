@@ -13,8 +13,10 @@ The per-frame conditioning (expression ⊕ latent code) and biases of the
 layers they feed are pre-folded into two (256,) vectors (`cond0`, `cond3`)
 on the JAX side — see `models/mlp.py` — and the per-ray view-direction
 contribution enters as a precomputed (R, 128) vector added after the
-fc_feat → layers_dir.0 matmul, so the kernel's sample inputs are just the
-(R, S, 63) positional encoding.
+fc_feat → layers_dir.0 matmul. The kernel's per-sample inputs are just the
+ray geometry (origins, directions, depths): sample positions ro + rd·z AND
+their positional encoding are computed in VMEM, so neither the (R, S, 3)
+points nor the (R, S, 63) PE array ever exists in HBM.
 
 Backward is a custom VJP: a second kernel recomputes the forward per tile
 (flash-style) and accumulates weight/bias/conditioning gradients in f32
@@ -174,7 +176,7 @@ def _bwd_kernel(n_rays, n_samples, *refs):
     x3 = _points_in_kernel(ro_ref, rd_ref, z_ref, n_rays, n_samples)
     enc = _encode_in_kernel(x3, C_ref[:], phase_ref[:])
     enc_bf = enc.astype(jnp.bfloat16)
-    rgb, alpha, a = _trunk_forward(
+    _, _, a = _trunk_forward(
         x3, enc, dir_ref[:], cond0_ref[:], cond3_ref[:], W, n_rays, n_samples
     )
 
