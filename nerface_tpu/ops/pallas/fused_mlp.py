@@ -521,7 +521,8 @@ def fused_paper_mlp(
 
 # -- fused render (forward-only): MLP + volume compositing in one kernel ----
 
-def _render_kernel(n_rays, n_samples, has_bg, white_background, *refs):
+def _render_kernel(n_rays, n_samples, has_bg, white_background,
+                   out_weights, *refs):
     """Evaluate the radiance field AND composite it per ray tile — the
     (R, S, 4) radiance never exists in HBM. Eval-path only (no VJP; sigma
     noise must be 0). cumprod_exclusive is computed as
@@ -538,6 +539,7 @@ def _render_kernel(n_rays, n_samples, has_bg, white_background, *refs):
     i += 1
     W, used = _unpack_weight_refs(refs[i:])
     rgb_ref, disp_ref, acc_ref, depth_ref, bgw_ref = refs[i + used:i + used + 5]
+    w_ref = refs[i + used + 5] if out_weights else None
 
     x3 = _points_in_kernel(ro_ref, rd_ref, z_ref, n_rays, n_samples)
     enc = _encode_in_kernel(x3, C_ref[:], phase_ref[:])
@@ -599,6 +601,10 @@ def _render_kernel(n_rays, n_samples, has_bg, white_background, *refs):
     acc_ref[:] = acc_map
     depth_ref[:] = depth_map
     bgw_ref[:] = weights[:, n_samples - 1:n_samples]
+    if out_weights:
+        # full per-sample weights — needed by the coarse pass for the
+        # hierarchical inverse-CDF resample
+        w_ref[:] = weights
 
 
 def fused_paper_render(
@@ -612,11 +618,13 @@ def fused_paper_render(
     white_background: bool = False,
     num_encoding_fn_xyz: int = 10,
     log_sampling_xyz: bool = True,
+    out_weights: bool = False,
 ):
     """Forward-only fused render: radiance evaluation + alpha compositing
     per ray tile. Returns dict(rgb (R,3), disp, acc, depth, bg_weight
-    (R,)). Semantics identical to inject_background +
-    volume_render_radiance_field at noise_std=0."""
+    (R,)) — plus per-sample "weights" (R, S) when `out_weights` (the
+    coarse pass needs them for resampling). Semantics identical to
+    inject_background + volume_render_radiance_field at noise_std=0."""
     from nerface_tpu.ops.encoding import _encoding_matrix
 
     n_rays, n_samples = z_vals.shape
@@ -696,10 +704,14 @@ def fused_paper_render(
             jax.ShapeDtypeStruct((n_rays, width), jnp.float32),
         )
 
-    out_specs, out_shapes = zip(*[_out(3), _out(1), _out(1), _out(1), _out(1)])
-    rgb, disp, acc, depth, bgw = pl.pallas_call(
+    outs = [_out(3), _out(1), _out(1), _out(1), _out(1)]
+    if out_weights:
+        outs.append(_out(n_samples))
+    out_specs, out_shapes = zip(*outs)
+    res = pl.pallas_call(
         functools.partial(
-            _render_kernel, tr, n_samples, has_bg, white_background
+            _render_kernel, tr, n_samples, has_bg, white_background,
+            out_weights,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -707,10 +719,14 @@ def fused_paper_render(
         out_shape=list(out_shapes),
         interpret=_interpret(),
     )(*args)
-    return {
+    rgb, disp, acc, depth, bgw = res[:5]
+    out = {
         "rgb": rgb,
         "disp": disp[:, 0],
         "acc": acc[:, 0],
         "depth": depth[:, 0],
         "bg_weight": bgw[:, 0],
     }
+    if out_weights:
+        out["weights"] = res[5]
+    return out

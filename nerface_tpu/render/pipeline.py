@@ -272,24 +272,46 @@ def render_rays(
         )
         pe_dir = settings.encode_dir(_direction_branch_input(dir_src, near, far))
 
-    radiance_coarse = _apply_model(
-        model_coarse, params_coarse, ro, rd, z_vals, settings.encode_xyz,
-        pe_dir, expressions, latent_code, dtype, settings.fused,
-    )
-    radiance_coarse = inject_background(radiance_coarse, background_prior)
+    if _fused_render_eligible(
+        model_coarse, ro, z_vals, pe_dir, expressions, latent_code, settings
+    ):
+        from nerface_tpu.models.mlp import linear_cols
+        from nerface_tpu.ops.pallas.fused_mlp import fused_paper_render
 
-    rgb_coarse, disp_coarse, acc_coarse, weights, depth_coarse = (
-        volume_render_radiance_field(
-            radiance_coarse,
-            z_vals,
-            rd,
-            radiance_field_noise_std=settings.radiance_field_noise_std,
-            white_background=settings.white_background,
-            background_prior=background_prior,
-            noise_key=k_noise_c,
-            return_depth=True,
+        _cond = jnp.concatenate([expressions * (1.0 / 3.0), latent_code])
+        _dd = pe_dir.shape[-1]
+        _dir_contrib = linear_cols(
+            params_coarse, "layers_dir.0", pe_dir, 256, 256 + _dd
         )
-    )
+        fc = fused_paper_render(
+            params_coarse, ro, rd, z_vals, _dir_contrib, _cond,
+            background=background_prior,
+            white_background=settings.white_background,
+            num_encoding_fn_xyz=settings.encode_xyz.num_encoding_functions,
+            log_sampling_xyz=settings.encode_xyz.log_sampling,
+            out_weights=True,
+        )
+        rgb_coarse, disp_coarse, acc_coarse = fc["rgb"], fc["disp"], fc["acc"]
+        weights, depth_coarse = fc["weights"], fc["depth"]
+    else:
+        radiance_coarse = _apply_model(
+            model_coarse, params_coarse, ro, rd, z_vals, settings.encode_xyz,
+            pe_dir, expressions, latent_code, dtype, settings.fused,
+        )
+        radiance_coarse = inject_background(radiance_coarse, background_prior)
+
+        rgb_coarse, disp_coarse, acc_coarse, weights, depth_coarse = (
+            volume_render_radiance_field(
+                radiance_coarse,
+                z_vals,
+                rd,
+                radiance_field_noise_std=settings.radiance_field_noise_std,
+                white_background=settings.white_background,
+                background_prior=background_prior,
+                noise_key=k_noise_c,
+                return_depth=True,
+            )
+        )
 
     out: Dict[str, Any] = {
         "rgb_coarse": rgb_coarse,
