@@ -95,10 +95,16 @@ def sample_pdf(
     iota = jnp.arange(B, dtype=jnp.int32)
     oh_below = (below[..., :, None] == iota).astype(u.dtype)  # (R, Q, B)
     oh_above = (above[..., :, None] == iota).astype(u.dtype)
-    # one gather pair per one-hot: contract against [cdf; bins] jointly
+    # one gather pair per one-hot: contract against [cdf; bins] jointly.
+    # HIGHEST precision: the TPU default bf16-pass matmul would round the
+    # gathered values to bf16 (~4e-3 on a [0,1] cdf).
     cb = jnp.stack([cdf, bins], axis=-1)  # (R, B, 2)
-    below_vals = jnp.einsum("rqb,rbc->rqc", oh_below, cb)
-    above_vals = jnp.einsum("rqb,rbc->rqc", oh_above, cb)
+    below_vals = jnp.einsum(
+        "rqb,rbc->rqc", oh_below, cb, precision=jax.lax.Precision.HIGHEST
+    )
+    above_vals = jnp.einsum(
+        "rqb,rbc->rqc", oh_above, cb, precision=jax.lax.Precision.HIGHEST
+    )
     cdf_below, bins_below = below_vals[..., 0], below_vals[..., 1]
     cdf_above, bins_above = above_vals[..., 0], above_vals[..., 1]
 

@@ -270,3 +270,43 @@ class TestFusedRenderIntegration:
                 np.asarray(fused[k]), np.asarray(base[k]), atol=2e-3,
                 err_msg=k,
             )
+
+
+class TestFusedResample:
+    def test_matches_sample_pdf_and_merge(self):
+        from nerface_tpu.ops.pallas.fused_mlp import fused_resample
+        from nerface_tpu.ops.sampling import merge_sorted_zvals, sample_pdf
+
+        R, Sc, Sf = 16, 64, 64
+        rng = np.random.RandomState(0)
+        z = jnp.asarray(
+            np.cumsum(rng.rand(R, Sc).astype(np.float32) * 0.01 + 0.002, -1)
+        )
+        w = jnp.asarray(rng.rand(R, Sc).astype(np.float32))
+        key = jax.random.PRNGKey(5)
+        # same key/shape as sample_pdf draws internally -> identical u's
+        u = jax.random.uniform(key, (R, Sf), dtype=jnp.float32)
+        zs = sample_pdf(key, 0.5 * (z[:, 1:] + z[:, :-1]), w[:, 1:-1], Sf,
+                        det=False)
+        ref = merge_sorted_zvals(z, zs)
+        out = fused_resample(z, w, u)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+        # output is sorted
+        assert (np.diff(np.asarray(out), axis=-1) >= 0).all()
+
+    def test_det_case(self):
+        from nerface_tpu.ops.pallas.fused_mlp import fused_resample
+        from nerface_tpu.ops.sampling import merge_sorted_zvals, sample_pdf
+
+        R, Sc, Sf = 8, 32, 16
+        rng = np.random.RandomState(1)
+        z = jnp.asarray(
+            np.cumsum(rng.rand(R, Sc).astype(np.float32) * 0.02 + 0.01, -1)
+        )
+        w = jnp.asarray(rng.rand(R, Sc).astype(np.float32))
+        u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, Sf), (R, Sf))
+        zs = sample_pdf(None, 0.5 * (z[:, 1:] + z[:, :-1]), w[:, 1:-1], Sf,
+                        det=True)
+        ref = merge_sorted_zvals(z, zs)
+        out = fused_resample(z, w, u)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
