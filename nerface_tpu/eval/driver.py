@@ -97,6 +97,31 @@ def _save_png(path: str, img: np.ndarray) -> None:
     Image.fromarray(img).save(path)
 
 
+class _AsyncSaver:
+    """Background PNG writer: at 512² the PNG encode costs ~0.5 s/image —
+    comparable to the render itself — so saves overlap with the next
+    frame's render (the reference saves synchronously inside its timed
+    loop, `eval_transformed_rays.py:484-497`)."""
+
+    def __init__(self, workers: int = 4):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=workers)
+        self._futures = []
+
+    def save(self, path: str, img: np.ndarray) -> None:
+        self._futures.append(self._pool.submit(_save_png, path, img))
+
+    def wait(self) -> None:
+        for f in self._futures:
+            f.result()
+        self._futures.clear()
+
+    def shutdown(self) -> None:
+        self.wait()
+        self._pool.shutdown()
+
+
 def evaluate(
     cfg,
     checkpoint: str,
@@ -192,6 +217,7 @@ def evaluate(
 
     times = []
     latent_index = 0
+    saver = _AsyncSaver()
     for i in range(n_frames):
         t0 = time.time()
         pose = render_poses[i]
@@ -253,25 +279,26 @@ def evaluate(
         jax.block_until_ready(rgb)
         times.append(time.time() - t0)
 
-        _save_png(os.path.join(savedir, f"{i:04d}.png"), cast_to_image(rgb))
-        _save_png(
+        saver.save(os.path.join(savedir, f"{i:04d}.png"), cast_to_image(rgb))
+        saver.save(
             os.path.join(savedir, "normals", f"{i:04d}.png"),
             np.asarray(normals).astype(np.uint8),
         )
         if save_disparity_image:
-            _save_png(
+            saver.save(
                 os.path.join(savedir, "disparity", f"{i:04d}.png"),
                 cast_to_disparity_image(disp),
             )
         if save_error_image and len(dataset.i_test) > i:
             gt = dataset.images[dataset.i_test[i]][..., :3]
-            _save_png(
+            saver.save(
                 os.path.join(savedir, "error", f"{i:04d}.png"),
                 error_image(gt, np.asarray(rgb)),
             )
         if log:
             print(f"Avg time per image: {sum(times) / (i + 1)}")
 
+    saver.shutdown()
     return {
         "frames": float(n_frames),
         "avg_time_per_image": (sum(times) / len(times)) if times else 0.0,
