@@ -241,3 +241,38 @@ class TestModelParity:
             ).numpy()
         ours = np.asarray(jm.apply(params, pe_xyz, pe_dir))
         np.testing.assert_allclose(ours, theirs, atol=3e-5)
+
+
+class TestRayTransformParity:
+    def test_ndc_rays(self, ref, np_rng):
+        import jax.numpy as jnp
+
+        from nerface_tpu.ops.rays import ndc_rays
+
+        H, W, focal = 24, 32, 40.0
+        ro = np_rng.randn(50, 3).astype(np.float32) * 0.2
+        rd = np_rng.randn(50, 3).astype(np.float32)
+        rd[:, 2] = -np.abs(rd[:, 2]) - 0.5  # forward-facing
+        ro_t, rd_t = ref.helpers.ndc_rays(
+            H, W, focal, 1.0, torch.from_numpy(ro), torch.from_numpy(rd)
+        )
+        ro_j, rd_j = ndc_rays(H, W, focal, 1.0, jnp.asarray(ro), jnp.asarray(rd))
+        np.testing.assert_allclose(np.asarray(ro_j), ro_t.numpy(), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(rd_j), rd_t.numpy(), atol=1e-5)
+
+    def test_rodrigues_vs_lie_exp(self, np_rng):
+        """Two independent implementations of axis-angle -> rotation
+        (ops.rays.rodrigues and utils.lie.so3_exp, the pytorch3d
+        replacement) must agree."""
+        import jax.numpy as jnp
+
+        from nerface_tpu.ops.rays import rodrigues
+        from nerface_tpu.utils.lie import so3_exp
+
+        for scale in (1.0, 1e-6):
+            w = np_rng.randn(3).astype(np.float32) * scale
+            np.testing.assert_allclose(
+                np.asarray(rodrigues(jnp.asarray(w))),
+                np.asarray(so3_exp(jnp.asarray(w))),
+                atol=1e-6,
+            )
