@@ -1,264 +1,268 @@
 """YACS-style config tree.
 
-Drop-in behavioral equivalent of the reference's config layer
+Behavioral equivalent of the reference's config layer
 (`nerface_code/nerf-pytorch/nerf/cfgnode.py:36-419`): a nested dict with
 attribute access, immutability toggles, YAML round-tripping, file/list
 merging, and value coercion.  Accepts the reference's experiment YAML files
 unchanged (e.g. `config/dave/dave_dvp_lcode_fixed_bg_512_paper_model.yml`).
 
-This is a fresh implementation, not a port — the reference's
-deprecated/renamed-key registry is kept as a minimal hook since no shipped
-config uses it.
+Derivation note: the reference's CfgNode is itself a YACS derivative, and
+the public API here matches it by necessity (the 62 shipped YAMLs and the
+CLI `--override key value` path go through it). The implementation is our
+own: merging and leaf-coercion are CfgNode methods driven by a declarative
+cast table rather than YACS's recursive module functions, and dotted-path
+handling is shared by merge and override. The deprecated/renamed-key
+registry is kept as a minimal API-parity hook — no shipped config uses it.
 """
 
 from __future__ import annotations
 
+import ast
 import copy
-import io
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Iterable, List, Optional, Tuple
 
 import yaml
 
-_VALID_TYPES = (tuple, list, str, int, float, bool, type(None))
+# Leaf types a config may hold (matches YAML's scalar/sequence model).
+_LEAF_TYPES = (tuple, list, str, int, float, bool, type(None))
 
-_IMMUTABLE = "__immutable__"
-_DEPRECATED = "__deprecated_keys__"
-_RENAMED = "__renamed_keys__"
+# Silent leaf coercions applied when an override's type differs from the
+# existing value's type: {incoming type: allowed existing type}.
+_COERCIONS: Dict[type, type] = {tuple: list, list: tuple, int: float}
 
 
 class CfgNode(dict):
-    """A nested configuration node with attribute access and freezing."""
+    """A nested configuration node with attribute access and freezing.
+
+    Internal state (frozen flag, deprecation registry) lives on
+    ``self.__dict__`` so the dict payload stays pure config.
+    """
 
     def __init__(self, init_dict: Optional[Dict] = None, key_list: Optional[List[str]] = None):
-        init_dict = {} if init_dict is None else init_dict
-        key_list = [] if key_list is None else key_list
-        init_dict = self._create_config_tree_from_dict(init_dict, key_list)
-        super().__init__(init_dict)
-        self.__dict__[_IMMUTABLE] = False
-        self.__dict__[_DEPRECATED] = set()
-        self.__dict__[_RENAMED] = {}
+        path = tuple(key_list or ())
+        super().__init__()
+        self.__dict__["_frozen"] = False
+        self.__dict__["_deprecated"] = set()
+        self.__dict__["_renamed"] = {}
+        for k, v in (init_dict or {}).items():
+            self[str(k)] = self._wrap_value(v, path + (str(k),))
 
     @classmethod
-    def _create_config_tree_from_dict(cls, dic: Dict, key_list: List[str]) -> Dict:
-        dic = copy.deepcopy(dic)
-        for k, v in dic.items():
-            if isinstance(v, dict):
-                dic[k] = cls(v, key_list=key_list + [str(k)])
-            else:
-                if not _valid_type(v, allow_cfg_node=False):
-                    raise AttributeError(
-                        "key {} with value {} is not a valid type; valid types: {}".format(
-                            ".".join(key_list + [str(k)]), type(v), _VALID_TYPES
-                        )
-                    )
-        return dic
+    def _wrap_value(cls, value: Any, path: Tuple[str, ...]) -> Any:
+        """Deep-convert dicts to CfgNodes; reject non-config leaf types."""
+        if isinstance(value, CfgNode):
+            return value
+        if isinstance(value, dict):
+            return cls(value, key_list=list(path))
+        if type(value) not in _LEAF_TYPES:
+            raise AttributeError(
+                f"config value at '{'.'.join(path)}' has unsupported type "
+                f"{type(value).__name__}; config leaves must be one of "
+                f"{[t.__name__ for t in _LEAF_TYPES]}"
+            )
+        return copy.deepcopy(value)
 
-    # -- attribute access ---------------------------------------------------
+    # -- attribute access -----------------------------------------------------
 
     def __getattr__(self, name: str) -> Any:
-        if name in self:
+        try:
             return self[name]
-        raise AttributeError(name)
+        except KeyError:
+            raise AttributeError(name) from None
 
     def __setattr__(self, name: str, value: Any) -> None:
-        if self.is_frozen():
+        if self.__dict__["_frozen"]:
             raise AttributeError(
-                "attempted to set {} to {}, but CfgNode is immutable".format(name, value)
+                f"cannot set '{name}': this CfgNode is frozen (defrost() first)"
             )
         if name in self.__dict__:
-            raise AttributeError("invalid attempt to modify internal state: {}".format(name))
-        if not _valid_type(value, allow_cfg_node=True):
-            raise AttributeError(
-                "invalid type {} for key {}; valid types = {}".format(type(value), name, _VALID_TYPES)
-            )
-        self[name] = value
+            raise AttributeError(f"'{name}' shadows CfgNode internal state")
+        self[name] = self._wrap_value(value, (name,))
 
-    # -- printing -----------------------------------------------------------
+    # -- printing ---------------------------------------------------------------
 
     def __str__(self) -> str:
-        def _indent(s, num_spaces):
-            lines = s.split("\n")
-            if len(lines) == 1:
-                return s
-            first = lines.pop(0)
-            lines = [(num_spaces * " ") + line for line in lines]
-            return first + "\n" + "\n".join(lines)
-
-        r = ""
-        s = []
-        for k, v in sorted(self.items()):
-            sep = "\n" if isinstance(v, CfgNode) else " "
-            attr_str = "{}:{}{}".format(str(k), sep, str(v))
-            attr_str = _indent(attr_str, 2)
-            s.append(attr_str)
-        r += "\n".join(s)
-        return r
+        lines: List[str] = []
+        for k in sorted(self):
+            v = self[k]
+            if isinstance(v, CfgNode):
+                lines.append(f"{k}:")
+                body = str(v)
+                lines.extend(
+                    "  " + line for line in (body.split("\n") if body else [])
+                )
+            else:
+                lines.append(f"{k}: {v}")
+        return "\n".join(lines)
 
     def __repr__(self) -> str:
-        return "{}({})".format(self.__class__.__name__, super().__repr__())
+        return f"{type(self).__name__}({super().__repr__()})"
 
-    # -- freezing -----------------------------------------------------------
+    # -- freezing ---------------------------------------------------------------
 
     def freeze(self) -> None:
-        self._set_immutable(True)
+        self._propagate_frozen(True)
 
     def defrost(self) -> None:
-        self._set_immutable(False)
+        self._propagate_frozen(False)
 
     def is_frozen(self) -> bool:
-        return self.__dict__[_IMMUTABLE]
+        return self.__dict__["_frozen"]
 
-    def _set_immutable(self, is_immutable: bool) -> None:
-        self.__dict__[_IMMUTABLE] = is_immutable
-        for v in self.__dict__.values():
-            if isinstance(v, CfgNode):
-                v._set_immutable(is_immutable)
+    def _propagate_frozen(self, frozen: bool) -> None:
+        self.__dict__["_frozen"] = frozen
         for v in self.values():
             if isinstance(v, CfgNode):
-                v._set_immutable(is_immutable)
+                v._propagate_frozen(frozen)
 
-    # -- cloning / merging --------------------------------------------------
+    # -- cloning / serialization --------------------------------------------------
 
     def clone(self) -> "CfgNode":
         return copy.deepcopy(self)
 
-    def dump(self, **kwargs) -> str:
-        def convert_to_dict(node, key_list):
-            if not isinstance(node, CfgNode):
-                _valid_type(node, allow_cfg_node=False)
-                return node
-            return {k: convert_to_dict(v, key_list + [str(k)]) for k, v in node.items()}
+    def to_dict(self) -> Dict:
+        """Plain nested-dict copy of the tree."""
+        return {
+            k: (v.to_dict() if isinstance(v, CfgNode) else v)
+            for k, v in self.items()
+        }
 
-        return yaml.safe_dump(convert_to_dict(self, []), **kwargs)
+    def dump(self, **kwargs) -> str:
+        return yaml.safe_dump(self.to_dict(), **kwargs)
+
+    # -- merging ----------------------------------------------------------------
 
     def merge_from_file(self, cfg_filename: str) -> None:
         with open(cfg_filename, "r") as f:
-            cfg = self.load_cfg(f)
-        self.merge_from_other_cfg(cfg)
+            self.merge_from_other_cfg(self.load_cfg(f))
 
     def merge_from_other_cfg(self, cfg_other: "CfgNode") -> None:
-        _merge_a_into_b(cfg_other, self, self, [])
+        if not isinstance(cfg_other, CfgNode):
+            raise TypeError(
+                f"can only merge a CfgNode, got {type(cfg_other).__name__}"
+            )
+        self._merge(cfg_other, ())
+
+    def _merge(self, other: "CfgNode", path: Tuple[str, ...]) -> None:
+        """Recursively fold `other` into self. Existing leaves keep their
+        type (coercing per _COERCIONS); new keys are adopted unless
+        deprecated/renamed."""
+        for k, incoming in other.items():
+            kpath = path + (str(k),)
+            if k in self:
+                mine = self[k]
+                if isinstance(mine, CfgNode) and isinstance(incoming, CfgNode):
+                    mine._merge(incoming, kpath)
+                elif isinstance(mine, CfgNode) or isinstance(incoming, CfgNode):
+                    raise ValueError(
+                        f"cannot merge at '{'.'.join(kpath)}': one side is a "
+                        "section, the other a leaf"
+                    )
+                else:
+                    self[k] = _coerce_leaf(incoming, mine, kpath)
+            else:
+                dotted = ".".join(kpath)
+                if self.key_is_deprecated(dotted):
+                    continue
+                if self.key_is_renamed(dotted):
+                    self.raise_key_rename_error(dotted)
+                self[k] = self._wrap_value(incoming, kpath)
 
     def merge_from_list(self, cfg_list: List) -> None:
-        assert len(cfg_list) % 2 == 0, "override list has odd length: {}".format(cfg_list)
-        root = self
-        for full_key, v in zip(cfg_list[0::2], cfg_list[1::2]):
-            if root.key_is_deprecated(full_key):
+        """Apply ["a.b", value, ...] overrides onto existing keys."""
+        if len(cfg_list) % 2:
+            raise ValueError(
+                f"override list must alternate key, value — got an odd "
+                f"count of {len(cfg_list)} items"
+            )
+        for dotted, raw in zip(cfg_list[0::2], cfg_list[1::2]):
+            if self.key_is_deprecated(dotted):
                 continue
-            if root.key_is_renamed(full_key):
-                root.raise_key_rename_error(full_key)
-            key_list = full_key.split(".")
-            d = self
-            for subkey in key_list[:-1]:
-                assert subkey in d, "non-existent key: {}".format(full_key)
-                d = d[subkey]
-            subkey = key_list[-1]
-            assert subkey in d, "non-existent key: {}".format(full_key)
-            value = self._decode_cfg_value(v)
-            value = _check_and_coerce_cfg_value_type(value, d[subkey], subkey, full_key)
-            d[subkey] = value
+            if self.key_is_renamed(dotted):
+                self.raise_key_rename_error(dotted)
+            node, leaf = self._descend(dotted)
+            value = _parse_override(raw)
+            node[leaf] = _coerce_leaf(value, node[leaf], tuple(dotted.split(".")))
 
-    # -- deprecation hooks (API parity; no shipped config uses them) --------
+    def _descend(self, dotted: str) -> Tuple["CfgNode", str]:
+        """Walk a dotted path to (owning node, leaf key); the full path must
+        already exist."""
+        *parents, leaf = dotted.split(".")
+        node: CfgNode = self
+        walked: List[str] = []
+        for part in parents + [leaf]:
+            if not isinstance(node, CfgNode) or part not in node:
+                raise KeyError(
+                    f"override targets unknown config key "
+                    f"'{'.'.join(walked + [part])}' (from '{dotted}')"
+                )
+            walked.append(part)
+            if part != leaf or len(walked) < len(parents) + 1:
+                node = node[part]
+        return node, leaf
+
+    # -- deprecation hooks (API parity; no shipped config uses them) -------------
 
     def register_deprecated_key(self, key: str) -> None:
-        self.__dict__[_DEPRECATED].add(key)
+        self.__dict__["_deprecated"].add(key)
 
-    def register_renamed_key(self, old_name: str, new_name: str, message: Optional[str] = None) -> None:
-        self.__dict__[_RENAMED][old_name] = (new_name, message) if message else (new_name,)
+    def register_renamed_key(
+        self, old_name: str, new_name: str, message: Optional[str] = None
+    ) -> None:
+        self.__dict__["_renamed"][old_name] = (new_name, message)
 
     def key_is_deprecated(self, full_key: str) -> bool:
-        return full_key in self.__dict__[_DEPRECATED]
+        return full_key in self.__dict__["_deprecated"]
 
     def key_is_renamed(self, full_key: str) -> bool:
-        return full_key in self.__dict__[_RENAMED]
+        return full_key in self.__dict__["_renamed"]
 
     def raise_key_rename_error(self, full_key: str) -> None:
-        new_key = self.__dict__[_RENAMED][full_key]
-        msg = " Note: " + new_key[1] if len(new_key) > 1 else ""
-        raise KeyError(
-            "key {} was renamed to {};{}".format(full_key, new_key[0], msg)
-        )
+        new_name, message = self.__dict__["_renamed"][full_key]
+        hint = f" ({message})" if message else ""
+        raise KeyError(f"config key '{full_key}' is now '{new_name}'{hint}")
 
-    # -- loading ------------------------------------------------------------
+    # -- loading ------------------------------------------------------------------
 
     @classmethod
-    def load_cfg(cls, cfg_file_obj_or_str) -> "CfgNode":
-        if isinstance(cfg_file_obj_or_str, str):
-            cfg_as_dict = yaml.safe_load(cfg_file_obj_or_str)
-        elif isinstance(cfg_file_obj_or_str, io.IOBase) or hasattr(cfg_file_obj_or_str, "read"):
-            cfg_as_dict = yaml.safe_load(cfg_file_obj_or_str.read())
+    def load_cfg(cls, source) -> "CfgNode":
+        """Build a CfgNode from a YAML string or readable file object."""
+        if isinstance(source, str):
+            text = source
+        elif hasattr(source, "read"):
+            text = source.read()
         else:
-            raise NotImplementedError(
-                "cannot load config from {}".format(type(cfg_file_obj_or_str))
+            raise TypeError(
+                f"cannot load config from {type(source).__name__}; pass a "
+                "YAML string or an open file"
             )
-        if cfg_as_dict is None:
-            cfg_as_dict = {}
-        return cls(cfg_as_dict)
-
-    @classmethod
-    def _decode_cfg_value(cls, value):
-        if isinstance(value, dict):
-            return cls(value)
-        if not isinstance(value, str):
-            return value
-        try:
-            import ast
-
-            value = ast.literal_eval(value)
-        except (ValueError, SyntaxError):
-            pass
-        return value
+        return cls(yaml.safe_load(text) or {})
 
 
-def _valid_type(value, allow_cfg_node: bool = False) -> bool:
-    return (type(value) in _VALID_TYPES) or (allow_cfg_node and isinstance(value, CfgNode))
+def _parse_override(raw: Any) -> Any:
+    """Command-line override values arrive as strings; interpret Python
+    literals ('1e-4', '[1, 2]', 'True'), leaving plain words as strings."""
+    if isinstance(raw, dict):
+        return CfgNode(raw)
+    if not isinstance(raw, str):
+        return raw
+    try:
+        return ast.literal_eval(raw)
+    except (ValueError, SyntaxError):
+        return raw
 
 
-def _merge_a_into_b(a: CfgNode, b: CfgNode, root: CfgNode, key_list: List[str]) -> None:
-    assert isinstance(a, CfgNode), "`a` (cur type {}) must be a CfgNode".format(type(a))
-    assert isinstance(b, CfgNode), "`b` (cur type {}) must be a CfgNode".format(type(b))
-    for k, v_ in a.items():
-        full_key = ".".join(key_list + [str(k)])
-        v = copy.deepcopy(v_)
-        v = b._decode_cfg_value(v)
-        if k in b:
-            v = _check_and_coerce_cfg_value_type(v, b[k], k, full_key)
-            if isinstance(v, CfgNode):
-                try:
-                    _merge_a_into_b(v, b[k], root, key_list + [str(k)])
-                except BaseException:
-                    raise
-            else:
-                b[k] = v
-        elif root.key_is_deprecated(full_key):
-            continue
-        elif root.key_is_renamed(full_key):
-            root.raise_key_rename_error(full_key)
-        else:
-            b[k] = v
-
-
-def _check_and_coerce_cfg_value_type(replacement, original, key, full_key):
-    original_type = type(original)
-    replacement_type = type(replacement)
-    if replacement_type == original_type or original is None:
-        return replacement
-
-    def conditional_cast(from_type, to_type):
-        if replacement_type == from_type and original_type == to_type:
-            return True, to_type(replacement)
-        return False, None
-
-    casts = [(tuple, list), (list, tuple), (int, float)]
-    for from_type, to_type in casts:
-        converted, converted_value = conditional_cast(from_type, to_type)
-        if converted:
-            return converted_value
-
+def _coerce_leaf(incoming: Any, existing: Any, path: Iterable[str]) -> Any:
+    """An override must match the existing leaf's type, up to the silent
+    casts in _COERCIONS (or anything over an existing None)."""
+    if existing is None or type(incoming) is type(existing):
+        return incoming
+    if _COERCIONS.get(type(incoming)) is type(existing):
+        return type(existing)(incoming)
     raise ValueError(
-        "type mismatch ({} vs. {}) with values ({} vs. {}) for config key: {}".format(
-            original_type, replacement_type, original, replacement, full_key
-        )
+        f"config key '{'.'.join(path)}' holds a {type(existing).__name__} "
+        f"({existing!r}) but the override is a {type(incoming).__name__} "
+        f"({incoming!r})"
     )
 
 
@@ -269,5 +273,4 @@ def load_config(path: str) -> CfgNode:
     (`train_transformed_rays.py:39-42`).
     """
     with open(path, "r") as f:
-        cfg_dict = yaml.safe_load(f)
-    return CfgNode(cfg_dict)
+        return CfgNode(yaml.safe_load(f))

@@ -76,7 +76,9 @@ def _render_frame_jit(
         if ray_directions_ablation is not None
         else None
     )
-    keys = jax.random.split(key, ro_t.shape[0])
+    # Global ray indices key the per-ray random draws (ops/sampling.py):
+    # the rendered frame is bit-identical for any tile size or mesh sharding.
+    idx_t = jnp.arange(n_pad, dtype=jnp.int32).reshape(-1, tile)
 
     # Eval is never differentiated: allow the forward-only fused render
     # (MLP + compositing in one kernel) for the fine pass.
@@ -85,20 +87,20 @@ def _render_frame_jit(
     tile_settings = _dc.replace(settings, fused_render=True)
 
     def render_tile(args):
-        ro_i, rd_i, key_i, bg_i, abl_i = args
+        ro_i, rd_i, idx_i, bg_i, abl_i = args
         out = render_rays(
             model_coarse, model_fine, params_coarse, params_fine,
-            ro_i, rd_i, tile_settings, key=key_i,
+            ro_i, rd_i, tile_settings, key=key,
             expressions=expressions, latent_code=latent_code,
             background_prior=bg_i, ray_directions_ablation=abl_i,
-            dtype=dtype,
+            dtype=dtype, ray_index=idx_i,
         )
         # Drop per-sample weights: full-frame weights at 512^2x128 would be
         # 8.6 GB; keep the reduced maps + bg weight only.
         out.pop("weights")
         return {k: v for k, v in out.items() if v is not None}
 
-    tiles = jax.lax.map(render_tile, (ro_t, rd_t, keys, bg_t, abl_t))
+    tiles = jax.lax.map(render_tile, (ro_t, rd_t, idx_t, bg_t, abl_t))
 
     def _restore(x):
         flat = x.reshape(n_pad, *x.shape[2:])[:n]
@@ -188,18 +190,22 @@ def _render_frame_sharded(
     rd_f = _flat_pad(rd, fill=1.0)
     bg_f = _flat_pad(background) if background is not None else None
     abl_f = _flat_pad(abl, fill=1.0) if abl is not None else None
-    keys = jax.random.split(key, n_pad // tile)
+    # Global ray indices — sharding slices this arange, so each chip draws
+    # its rays' randomness with their GLOBAL indices: the sharded frame is
+    # bit-identical to the single-device render with the same key.
+    idx_f = jnp.arange(n_pad, dtype=jnp.int32)
 
-    ray_args = (ro_f, rd_f, keys, bg_f, abl_f)
+    ray_args = (ro_f, rd_f, idx_f, bg_f, abl_f)
     in_specs = tuple(P(data_axis) if a is not None else P() for a in ray_args)
 
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=in_specs, out_specs=P(data_axis), check_vma=False,
     )
-    def shard_fn(ro_s, rd_s, keys_s, bg_s, abl_s):
+    def shard_fn(ro_s, rd_s, idx_s, bg_s, abl_s):
         ro_t = ro_s.reshape(-1, tile, 3)
         rd_t = rd_s.reshape(-1, tile, 3)
+        idx_t = idx_s.reshape(-1, tile)
         bg_t = bg_s.reshape(-1, tile, 3) if bg_s is not None else None
         abl_t = abl_s.reshape(-1, tile, 3) if abl_s is not None else None
 
@@ -208,18 +214,18 @@ def _render_frame_sharded(
         tile_settings = _dc.replace(settings, fused_render=True)
 
         def render_tile(args):
-            ro_i, rd_i, key_i, bg_i, abl_i = args
+            ro_i, rd_i, idx_i, bg_i, abl_i = args
             out = render_rays(
                 model_coarse, model_fine, params_coarse, params_fine,
-                ro_i, rd_i, tile_settings, key=key_i,
+                ro_i, rd_i, tile_settings, key=key,
                 expressions=expressions, latent_code=latent_code,
                 background_prior=bg_i, ray_directions_ablation=abl_i,
-                dtype=dtype,
+                dtype=dtype, ray_index=idx_i,
             )
             out.pop("weights")
             return {k: v for k, v in out.items() if v is not None}
 
-        tiles = jax.lax.map(render_tile, (ro_t, rd_t, keys_s, bg_t, abl_t))
+        tiles = jax.lax.map(render_tile, (ro_t, rd_t, idx_t, bg_t, abl_t))
         return jax.tree_util.tree_map(
             lambda x: x.reshape(-1, *x.shape[2:]), tiles
         )

@@ -27,6 +27,33 @@ def lpips_available(weights_path: Optional[str] = None) -> bool:
     return bool(weights_path) and os.path.exists(weights_path)
 
 
+def export_combined(
+    alexnet_weights: str, lpips_weights: str, out_path: str
+) -> None:
+    """Merge a torchvision AlexNet state_dict (`features.N.{weight,bias}`,
+    from `torchvision.models.alexnet(weights=...).state_dict()`) and an
+    lpips-package checkpoint (`lin{i}.model.1.weight` heads, e.g.
+    `lpips/weights/v0.1/alex.pth`) into ONE file loadable by `LPIPSAlex`.
+
+    Run this on a machine with network access / the packages installed,
+    then ship the combined file here and pass it as `--lpips-weights`.
+    """
+    import torch
+
+    alex_sd = torch.load(alexnet_weights, map_location="cpu", weights_only=True)
+    lin_sd = torch.load(lpips_weights, map_location="cpu", weights_only=True)
+    combined = {}
+    for k, v in alex_sd.items():
+        if k.startswith("features."):
+            combined[f"net.{k}"] = v
+    for i in range(5):
+        w = lin_sd.get(f"lin{i}.model.1.weight", lin_sd.get(f"lins.{i}.weight"))
+        if w is None:
+            raise ValueError(f"missing linear head {i} in {lpips_weights}")
+        combined[f"lin{i}.model.1.weight"] = w
+    torch.save(combined, out_path)
+
+
 class LPIPSAlex:
     """LPIPS-alex scorer. `weights` is a combined state_dict file holding
     both the AlexNet feature extractor ('net.*') and the linear heads

@@ -37,6 +37,7 @@ def volume_render_radiance_field(
     background_prior: Optional[jnp.ndarray] = None,
     noise_key: Optional[jax.Array] = None,
     return_depth: bool = False,
+    ray_index: Optional[jnp.ndarray] = None,
 ):
     """Composite (num_rays, num_samples, 4) radiance into per-ray maps.
 
@@ -63,10 +64,15 @@ def volume_render_radiance_field(
     if radiance_field_noise_std > 0.0:
         if noise_key is None:
             raise ValueError("radiance_field_noise_std > 0 requires noise_key")
-        sigma = sigma + (
-            jax.random.normal(noise_key, sigma.shape, dtype=sigma.dtype)
-            * radiance_field_noise_std
-        )
+        if ray_index is not None:
+            from nerface_tpu.ops.sampling import per_ray_normal
+
+            noise = per_ray_normal(
+                noise_key, ray_index, sigma.shape[-1], sigma.dtype
+            )
+        else:
+            noise = jax.random.normal(noise_key, sigma.shape, dtype=sigma.dtype)
+        sigma = sigma + noise * radiance_field_noise_std
     sigma_a = jax.nn.relu(sigma)
     # Unconditional epsilon on the last sample (`volume_rendering_utils.py:53`).
     sigma_a = sigma_a.at[..., -1].add(1e-6)

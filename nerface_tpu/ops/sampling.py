@@ -10,6 +10,13 @@ branchless binary search on TPU.
 
 All functions take explicit PRNG keys (device-side RNG) instead of the
 reference's global torch RNG.
+
+Partition-invariant randomness: when a `ray_index` (global ray indices) is
+given, each ray's draws are derived from `fold_in(key, ray_index[r])` —
+they depend only on (key, global index), never on how the ray axis is
+partitioned. Sharding a batch over a device mesh or tiling a frame for
+eval therefore produces bit-identical randomness to the single-device,
+single-tile program.
 """
 
 from __future__ import annotations
@@ -20,6 +27,32 @@ import jax
 import jax.numpy as jnp
 
 
+def per_ray_keys(key: jax.Array, ray_index: jnp.ndarray) -> jax.Array:
+    """One PRNG key per ray: `fold_in(key, ray_index[r])`."""
+    return jax.vmap(lambda i: jax.random.fold_in(key, i))(ray_index)
+
+
+def per_ray_uniform(
+    key: jax.Array, ray_index: jnp.ndarray, num_samples: int, dtype=jnp.float32
+) -> jnp.ndarray:
+    """(R, num_samples) uniforms where row r depends only on
+    (key, ray_index[r]) — invariant to ray-axis partitioning."""
+    keys = per_ray_keys(key, ray_index)
+    return jax.vmap(
+        lambda k: jax.random.uniform(k, (num_samples,), dtype=dtype)
+    )(keys)
+
+
+def per_ray_normal(
+    key: jax.Array, ray_index: jnp.ndarray, num_samples: int, dtype=jnp.float32
+) -> jnp.ndarray:
+    """(R, num_samples) standard normals, partition-invariant as above."""
+    keys = per_ray_keys(key, ray_index)
+    return jax.vmap(
+        lambda k: jax.random.normal(k, (num_samples,), dtype=dtype)
+    )(keys)
+
+
 def stratified_zvals(
     key: Optional[jax.Array],
     near: jnp.ndarray,
@@ -27,6 +60,7 @@ def stratified_zvals(
     num_samples: int,
     lindisp: bool = False,
     perturb: bool = True,
+    ray_index: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Coarse depth values per ray: (num_rays, num_samples).
 
@@ -46,7 +80,10 @@ def stratified_zvals(
         mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
         upper = jnp.concatenate([mids, z_vals[..., -1:]], axis=-1)
         lower = jnp.concatenate([z_vals[..., :1], mids], axis=-1)
-        t_rand = jax.random.uniform(key, z_vals.shape, dtype=z_vals.dtype)
+        if ray_index is not None:
+            t_rand = per_ray_uniform(key, ray_index, num_samples, z_vals.dtype)
+        else:
+            t_rand = jax.random.uniform(key, z_vals.shape, dtype=z_vals.dtype)
         z_vals = lower + (upper - lower) * t_rand
     return z_vals
 
@@ -57,6 +94,7 @@ def sample_pdf(
     weights: jnp.ndarray,
     num_samples: int,
     det: bool = False,
+    ray_index: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Inverse-transform sampling of `num_samples` depths from a per-ray
     piecewise-constant pdf over `bins`.
@@ -77,9 +115,12 @@ def sample_pdf(
     else:
         if key is None:
             raise ValueError("det=False requires a PRNG key")
-        u = jax.random.uniform(
-            key, cdf.shape[:-1] + (num_samples,), dtype=weights.dtype
-        )
+        if ray_index is not None:
+            u = per_ray_uniform(key, ray_index, num_samples, weights.dtype)
+        else:
+            u = jax.random.uniform(
+                key, cdf.shape[:-1] + (num_samples,), dtype=weights.dtype
+            )
 
     # searchsorted(side='right') as a comparison matrix + one-hot gathers.
     # B is small (≈ num_coarse), so the (R, Q, B) compare + two batched

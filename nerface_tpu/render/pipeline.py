@@ -235,6 +235,7 @@ def render_rays(
     background_prior: Optional[jnp.ndarray] = None,
     ray_directions_ablation: Optional[jnp.ndarray] = None,
     dtype=None,
+    ray_index: Optional[jnp.ndarray] = None,
 ) -> Dict[str, Any]:
     """Render a batch of rays. Everything is static-shaped and jit-safe.
 
@@ -242,10 +243,20 @@ def render_rays(
     Returns a dict with coarse/fine rgb/disp/acc maps, per-sample fine
     weights, the fine background weight column, and depth maps for the
     normals path.
+
+    `ray_index` (global ray indices, default arange(R)) keys all random
+    draws per-ray (see ops/sampling.py): render_rays over any partitioning
+    of the ray axis — mesh shards, eval tiles — reproduces the
+    single-device draws bit-exactly, provided callers pass each ray's
+    GLOBAL index.
     """
     num_rays = ray_origins.shape[0]
     ro = ray_origins.reshape(-1, 3)
     rd = ray_directions.reshape(-1, 3)
+    if ray_index is None:
+        ray_index = jnp.arange(num_rays, dtype=jnp.int32)
+    else:
+        ray_index = ray_index.reshape(-1).astype(jnp.int32)
 
     if not settings.no_ndc:
         raise NotImplementedError(
@@ -264,6 +275,7 @@ def render_rays(
     z_vals = stratified_zvals(
         k_strat, near, far, settings.num_coarse,
         lindisp=settings.lindisp, perturb=settings.perturb,
+        ray_index=ray_index,
     )
     pe_dir = None
     if settings.use_viewdirs and settings.encode_dir is not None:
@@ -310,6 +322,7 @@ def render_rays(
                 background_prior=background_prior,
                 noise_key=k_noise_c,
                 return_depth=True,
+                ray_index=ray_index,
             )
         )
 
@@ -335,6 +348,7 @@ def render_rays(
             weights[..., 1:-1],
             settings.num_fine,
             det=(not settings.perturb),
+            ray_index=ray_index,
         )
         z_all = merge_sorted_zvals(z_vals, z_samples)
         if _fused_render_eligible(
@@ -383,6 +397,7 @@ def render_rays(
                 background_prior=background_prior,
                 noise_key=k_noise_f,
                 return_depth=True,
+                ray_index=ray_index,
             )
         )
         out.update(

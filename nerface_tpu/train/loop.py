@@ -77,6 +77,7 @@ def validate(
     step: int,
     num_frames: int = 2,
     dtype=None,
+    mesh: Optional[jax.sharding.Mesh] = None,
 ) -> Dict[str, float]:
     """Full-frame validation renders (`train_transformed_rays.py:427-549`).
 
@@ -119,6 +120,7 @@ def validate(
             latent_code=latent,
             background=bg,
             dtype=dtype,
+            mesh=mesh,
         )
         target = dataset.images[img_idx][..., :3]
         coarse_loss = float(np.mean((np.asarray(out["rgb_coarse"]) - target) ** 2))
@@ -283,9 +285,11 @@ def train(
                     writer.scalar("train/bg_loss", m["background_loss"], i)
 
             if validate_every > 0 and i % validate_every == 0 and len(dataset.i_val):
+                # Validation rides the same mesh as training: the frame's
+                # ray axis is sharded so all chips render, none idle.
                 vm = validate(
                     cfg, dataset, model_coarse, model_fine, state, background,
-                    flags, writer, i, dtype=dtype,
+                    flags, writer, i, dtype=dtype, mesh=mesh,
                 )
                 print(
                     f"[VAL] Iter: {i} loss: {vm['loss']:.6f} "

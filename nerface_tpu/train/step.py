@@ -77,6 +77,7 @@ def _compute_losses(
         latent_code=latent_code,
         background_prior=background_prior,
         dtype=dtype,
+        ray_index=batch.get("ray_index"),
     )
 
     target = batch["target_rgb"][..., :3]
@@ -141,13 +142,22 @@ def make_train_step(
         )
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], key: jax.Array):
+        # Global per-ray indices key all random draws (stratification, pdf
+        # samples, sigma noise) — see ops/sampling.py. Sharding slices this
+        # arange, so each shard draws with its rays' GLOBAL indices and an
+        # N-device step reproduces the single-device step bit-exactly.
+        if "ray_index" not in batch:
+            batch = dict(batch)
+            batch["ray_index"] = jnp.arange(
+                batch["ray_origins"].shape[0], dtype=jnp.int32
+            )
         if mesh is not None:
             from jax.sharding import PartitionSpec as P
             from jax import shard_map
 
             ray_keys = {
                 "ray_origins", "ray_directions", "target_rgb",
-                "background_rgb", "pixel_indices",
+                "background_rgb", "pixel_indices", "ray_index",
             }
             in_specs = (
                 {k: P(data_axis) if k in ray_keys else P() for k in batch},

@@ -214,17 +214,20 @@ class TestDataParallel:
         )
         state_b2, m_dp = step_dp(state_b, batch, key)
 
-        # Same parameters after one step (same RNG key per shard changes the
-        # perturbation draw per-shard, so allow a loose tolerance on loss but
-        # require both to be finite and the update directions comparable).
-        assert np.isfinite(float(m_dp["loss"]))
-        wa = np.asarray(state_a2.params["coarse"]["layers_xyz.0.weight"])
-        wb = np.asarray(state_b2.params["coarse"]["layers_xyz.0.weight"])
-        # Updates are dominated by Adam's sign-like normalized step; the two
-        # paths see identical data, so the bulk of coordinates should agree.
-        agree = np.mean(np.sign(wa - np.asarray(state_a.params["coarse"]["layers_xyz.0.weight"]))
-                        == np.sign(wb - np.asarray(state_b.params["coarse"]["layers_xyz.0.weight"])))
-        assert agree > 0.7
+        # Per-ray RNG (draws keyed by global ray index) makes the 8-device
+        # step reproduce the single-device step exactly up to reduction
+        # order: pmean-of-shard-means vs one global mean reassociates the
+        # fp32 sums, so allow only fp32-epsilon-level slack.
+        np.testing.assert_allclose(
+            float(m_dp["loss"]), float(m_single["loss"]), rtol=1e-6
+        )
+        for leaf_a, leaf_b in zip(
+            jax.tree_util.tree_leaves(state_a2.params),
+            jax.tree_util.tree_leaves(state_b2.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(leaf_a), np.asarray(leaf_b), rtol=5e-5, atol=1e-6
+            )
 
     def test_dp_step_decreases_loss(self, rng, flagship_pair):
         mc, mf = flagship_pair
