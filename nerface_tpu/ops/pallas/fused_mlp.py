@@ -159,30 +159,13 @@ def _fwd_kernel(n_rays, n_samples, *refs):
     out_ref[:] = out.reshape(n_rays, n_samples, 4)
 
 
-def _bwd_kernel(n_rays, n_samples, *refs):
-    ro_ref, rd_ref, z_ref, dir_ref, cond0_ref, cond3_ref, C_ref, phase_ref = refs[:8]
-    W, used = _unpack_weight_refs(refs[8:])
-    g_ref = refs[8 + used]
-    outs = refs[9 + used:]
-    # Output order: dW per WEIGHT_NAMES, db per BIAS_NAMES, dcond0, dcond3,
-    # ddir (per-tile block).
-    d_w = {name: outs[i] for i, name in enumerate(WEIGHT_NAMES)}
-    nw = len(WEIGHT_NAMES)
-    d_b = {name: outs[nw + i] for i, name in enumerate(BIAS_NAMES)}
-    nb = nw + len(BIAS_NAMES)
-    d_cond0_ref, d_cond3_ref, d_dir_ref = outs[nb], outs[nb + 1], outs[nb + 2]
-
-    tile = n_rays * n_samples
-    x3 = _points_in_kernel(ro_ref, rd_ref, z_ref, n_rays, n_samples)
-    enc = _encode_in_kernel(x3, C_ref[:], phase_ref[:])
+def _trunk_backward(x3, enc, a, W, g_rgb, g_alpha, n_rays, n_samples):
+    """Shared backward math through the trunk + heads. x3/enc as in
+    `_trunk_forward`; `a` its saved activations; g_rgb (tile, 3) and
+    g_alpha (tile, 1) the head cotangents. Returns (grads_w, grads_b,
+    d_cond0, d_cond3, d_dir) where d_dir is the per-ray (n_rays, 128)
+    dir-contribution gradient."""
     enc_bf = enc.astype(jnp.bfloat16)
-    _, _, a = _trunk_forward(
-        x3, enc, dir_ref[:], cond0_ref[:], cond3_ref[:], W, n_rays, n_samples
-    )
-
-    g = g_ref[:].reshape(tile, 4)
-    g_rgb = g[:, :3]
-    g_alpha = g[:, 3:4]
 
     def dot_t_acc(x, gy):
         # dW = x^T @ gy, bf16 operands, f32 accumulation
@@ -222,9 +205,7 @@ def _bwd_kernel(n_rays, n_samples, *refs):
     grads_w["wd0"] = dot_t_acc(a["feat"], gx0)
     grads_b["bd0"] = jnp.sum(gx0, axis=0, keepdims=True)
     # per-ray dir contribution grad: sum over samples
-    d_dir_ref[:] = jnp.sum(
-        gx0.reshape(n_rays, n_samples, DIR_HIDDEN), axis=1
-    )
+    d_dir = jnp.sum(gx0.reshape(n_rays, n_samples, DIR_HIDDEN), axis=1)
 
     # sigma head
     grads_w["wa"] = dot_t_acc(a["feat"], g_alpha)
@@ -255,6 +236,34 @@ def _bwd_kernel(n_rays, n_samples, *refs):
     grads_w["w0a"] = dot_t_acc(x3, gh0)
     grads_w["w0b"] = dot_t_acc(enc_bf, gh0)
     d_cond0 = jnp.sum(gh0, axis=0, keepdims=True)
+    return grads_w, grads_b, d_cond0, d_cond3, d_dir
+
+
+def _bwd_kernel(n_rays, n_samples, *refs):
+    ro_ref, rd_ref, z_ref, dir_ref, cond0_ref, cond3_ref, C_ref, phase_ref = refs[:8]
+    W, used = _unpack_weight_refs(refs[8:])
+    g_ref = refs[8 + used]
+    outs = refs[9 + used:]
+    # Output order: dW per WEIGHT_NAMES, db per BIAS_NAMES, dcond0, dcond3,
+    # ddir (per-tile block).
+    d_w = {name: outs[i] for i, name in enumerate(WEIGHT_NAMES)}
+    nw = len(WEIGHT_NAMES)
+    d_b = {name: outs[nw + i] for i, name in enumerate(BIAS_NAMES)}
+    nb = nw + len(BIAS_NAMES)
+    d_cond0_ref, d_cond3_ref, d_dir_ref = outs[nb], outs[nb + 1], outs[nb + 2]
+
+    tile = n_rays * n_samples
+    x3 = _points_in_kernel(ro_ref, rd_ref, z_ref, n_rays, n_samples)
+    enc = _encode_in_kernel(x3, C_ref[:], phase_ref[:])
+    _, _, a = _trunk_forward(
+        x3, enc, dir_ref[:], cond0_ref[:], cond3_ref[:], W, n_rays, n_samples
+    )
+
+    g = g_ref[:].reshape(tile, 4)
+    grads_w, grads_b, d_cond0, d_cond3, d_dir = _trunk_backward(
+        x3, enc, a, W, g[:, :3], g[:, 3:4], n_rays, n_samples
+    )
+    d_dir_ref[:] = d_dir
 
     first = pl.program_id(0) == 0
 

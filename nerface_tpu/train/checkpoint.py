@@ -272,6 +272,20 @@ def _ordered_param_names(params: Dict[str, Any], key_order=None):
     return names
 
 
+def _is_flat_adam(adam) -> bool:
+    return getattr(adam.mu, "ndim", None) == 1
+
+
+def _moment_trees(adam, params):
+    """mu/nu as params-shaped trees, whatever the optimizer's internal
+    layout (per-tensor optax trees, or train/optim.py's flat buffers)."""
+    if _is_flat_adam(adam):
+        from nerface_tpu.train.optim import flat_moments_to_tree
+
+        return flat_moments_to_tree(adam, params)
+    return adam.mu, adam.nu
+
+
 def _find_adam_state(opt_state):
     """Locate the ScaleByAdamState (count/mu/nu) inside an optax chain."""
     for element in jax.tree_util.tree_leaves(
@@ -304,10 +318,11 @@ def export_torch_optimizer_state(
     adam = _find_adam_state(state.opt_state)
     names = _ordered_param_names(state.params, key_order)
     step = int(np.asarray(adam.count))
+    mu_tree, nu_tree = _moment_trees(adam, state.params)
     entries = {}
     for idx, (scope, key) in enumerate(names):
-        mu = _get_entry(adam.mu, scope, key)
-        nu = _get_entry(adam.nu, scope, key)
+        mu = _get_entry(mu_tree, scope, key)
+        nu = _get_entry(nu_tree, scope, key)
         if mu is None:
             continue
         entries[idx] = {
@@ -331,8 +346,9 @@ def import_torch_optimizer_state(
     Missing entries (params never stepped) keep zero moments."""
     adam = _find_adam_state(state.opt_state)
     names = _ordered_param_names(state.params, key_order)
-    mu = {k: (dict(v) if isinstance(v, dict) else v) for k, v in adam.mu.items()}
-    nu = {k: (dict(v) if isinstance(v, dict) else v) for k, v in adam.nu.items()}
+    mu_tree, nu_tree = _moment_trees(adam, state.params)
+    mu = {k: (dict(v) if isinstance(v, dict) else v) for k, v in mu_tree.items()}
+    nu = {k: (dict(v) if isinstance(v, dict) else v) for k, v in nu_tree.items()}
     count = adam.count
     entries = torch_opt_sd.get("state", {})
     for idx, (scope, key) in enumerate(names):
@@ -345,7 +361,12 @@ def import_torch_optimizer_state(
         )
         _set_entry(mu, scope, key, jnp.asarray(np.asarray(ent["exp_avg"])))
         _set_entry(nu, scope, key, jnp.asarray(np.asarray(ent["exp_avg_sq"])))
-    new_adam = adam._replace(count=count, mu=mu, nu=nu)
+    if _is_flat_adam(adam):
+        from nerface_tpu.train.optim import tree_to_flat_moments
+
+        new_adam = tree_to_flat_moments(adam, mu, nu, count)
+    else:
+        new_adam = adam._replace(count=count, mu=mu, nu=nu)
 
     def swap(node):
         return new_adam if node is adam else node

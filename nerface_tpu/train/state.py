@@ -37,20 +37,26 @@ def build_optimizer(cfg) -> optax.GradientTransformation:
     `cfg.optimizer.type` is honored for the optax equivalents of the torch
     optimizers the reference can name (Adam/AdamW/SGD/RMSprop).
     """
+    from nerface_tpu.train.optim import flat_adam
     from nerface_tpu.train.schedule import from_cfg as sched_from_cfg
 
     schedule = sched_from_cfg(cfg)
     opt_type = str(cfg.optimizer.type).lower()
     table = {
+        # Measured (one-pass fused train step, v5e): flat-buffer Adam
+        # (train/optim.py) times identically to per-tensor optax.adam —
+        # the per-tensor launches fully overlap the Pallas train kernels —
+        # and trips a donation aliasing bug at production batch size on
+        # the tunneled backend. Per-tensor Adam stays the default;
+        # "flat_adam" remains available by name.
         "adam": optax.adam,
+        "flat_adam": flat_adam,
         "adamw": optax.adamw,
         "sgd": optax.sgd,
         "rmsprop": optax.rmsprop,
     }
     if opt_type not in table:
         raise ValueError(f"unsupported optimizer type: {cfg.optimizer.type}")
-    # (measured: optax.flatten is a net loss here — the ravel/unravel
-    # concat costs more than the per-tensor kernel launches it saves)
     return table[opt_type](learning_rate=schedule)
 
 

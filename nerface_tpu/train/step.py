@@ -141,6 +141,27 @@ def make_train_step(
             fixed_background, dtype=dtype,
         )
 
+    def value_and_grad(params, batch, key, fixed_background):
+        """Gradients via the one-pass fused training kernel when eligible
+        (flagship model, fused on/auto+bf16 — see train/fused.py), else
+        jax.grad over the XLA parity path. Both see identical RNG draws."""
+        from nerface_tpu.train.fused import (
+            fused_train_eligible,
+            fused_value_and_grad,
+        )
+
+        if fused_train_eligible(
+            model_coarse, model_fine, settings, flags,
+            batch["ray_origins"].shape[0], dtype,
+        ):
+            return fused_value_and_grad(
+                params, batch, key, model_coarse, model_fine, settings,
+                flags, fixed_background,
+            )
+        return jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, key, fixed_background
+        )
+
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], key: jax.Array):
         # Global per-ray indices key all random draws (stratification, pdf
         # samples, sigma noise) — see ops/sampling.py. Sharding slices this
@@ -164,9 +185,9 @@ def make_train_step(
             )
 
             def sharded_grads(b):
-                (total, metrics), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(state.params, b, key, state.fixed_background)
+                (total, metrics), grads = value_and_grad(
+                    state.params, b, key, state.fixed_background
+                )
                 grads = jax.lax.pmean(grads, data_axis)
                 metrics = jax.lax.pmean(metrics, data_axis)
                 total = jax.lax.pmean(total, data_axis)
@@ -180,7 +201,7 @@ def make_train_step(
                 check_vma=False,
             )(batch)
         else:
-            (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            (total, metrics), grads = value_and_grad(
                 state.params, batch, key, state.fixed_background
             )
 

@@ -77,15 +77,19 @@ class TestExportImportRoundtrip:
         a0 = ckpt_lib._find_adam_state(stepped_state.opt_state)
         a1 = ckpt_lib._find_adam_state(restored.opt_state)
         assert int(np.asarray(a1.count)) == int(np.asarray(a0.count))
-        for k in a0.mu["coarse"]:
+        # _moment_trees: layout-agnostic view (per-tensor optax trees or
+        # the flat-buffer Adam of train/optim.py)
+        mu0, nu0 = ckpt_lib._moment_trees(a0, stepped_state.params)
+        mu1, nu1 = ckpt_lib._moment_trees(a1, restored.params)
+        for k in mu0["coarse"]:
             np.testing.assert_allclose(
-                np.asarray(a1.mu["coarse"][k]), np.asarray(a0.mu["coarse"][k])
+                np.asarray(mu1["coarse"][k]), np.asarray(mu0["coarse"][k])
             )
             np.testing.assert_allclose(
-                np.asarray(a1.nu["coarse"][k]), np.asarray(a0.nu["coarse"][k])
+                np.asarray(nu1["coarse"][k]), np.asarray(nu0["coarse"][k])
             )
         np.testing.assert_allclose(
-            np.asarray(a1.mu["latent_codes"]), np.asarray(a0.mu["latent_codes"])
+            np.asarray(mu1["latent_codes"]), np.asarray(mu0["latent_codes"])
         )
 
     def test_full_torch_ckpt_roundtrip(self, stepped_state, tmp_path):
@@ -113,9 +117,11 @@ class TestExportImportRoundtrip:
         restored = ckpt_lib.import_torch_weights(blank, loaded)
         a1 = ckpt_lib._find_adam_state(restored.opt_state)
         a0 = ckpt_lib._find_adam_state(stepped_state.opt_state)
+        _, nu1 = ckpt_lib._moment_trees(a1, restored.params)
+        _, nu0 = ckpt_lib._moment_trees(a0, stepped_state.params)
         np.testing.assert_allclose(
-            np.asarray(a1.nu["fine"]["fc_rgb.weight"]),
-            np.asarray(a0.nu["fine"]["fc_rgb.weight"]),
+            np.asarray(nu1["fine"]["fc_rgb.weight"]),
+            np.asarray(nu0["fine"]["fc_rgb.weight"]),
         )
         assert int(restored.step) == int(stepped_state.step)
 

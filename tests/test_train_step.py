@@ -173,10 +173,13 @@ class TestTrainStep:
 
 class TestSchedule:
     def test_reference_curve(self):
+        # the reference sets the new LR after each step
+        # (`train_transformed_rays.py:393-400`): iter k uses f^((k-1)/N)
         sched = exponential_lr(5e-4, 250, 0.1)
         assert float(sched(0)) == pytest.approx(5e-4)
-        assert float(sched(250_000)) == pytest.approx(5e-5)
-        assert float(sched(500_000)) == pytest.approx(5e-6, rel=1e-5)
+        assert float(sched(1)) == pytest.approx(5e-4)
+        assert float(sched(250_001)) == pytest.approx(5e-5, rel=1e-4)
+        assert float(sched(500_001)) == pytest.approx(5e-6, rel=1e-4)
 
     def test_optimizer_builder_rejects_unknown(self):
         cfg = CfgNode(
