@@ -33,6 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="mean-face .off mesh for head-bbox detection "
                              "(e.g. the reference's average.off)")
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--debug-vis", type=int, default=0, metavar="N",
+                        help="also write N mean-face camera-overlay frames "
+                             "to target/debug_vis (software rasterizer "
+                             "equivalent of real_to_nerf.py:1520-1543; "
+                             "requires --mesh)")
     parser.add_argument("--neutral-driving-idx", type=int, default=None)
     parser.add_argument("--neutral-target-idx", type=int, default=None)
     return parser
@@ -59,6 +64,10 @@ def main(argv=None) -> None:
         neutral_driving_idx=args.neutral_driving_idx,
         neutral_target_idx=args.neutral_target_idx,
     )
+    if args.debug_vis:
+        from nerface_tpu.tools.dataset_builder import write_debug_overlays
+
+        write_debug_overlays(cfg, range(args.debug_vis))
     if args.mode == "train":
         build_dataset(cfg)
     elif args.mode == "original":

@@ -51,6 +51,18 @@ WEIGHT_NAMES = (
     "wd0", "wd1", "wd2", "wrgb",
 )
 BIAS_NAMES = ("b1", "b2", "b4", "b5", "bf", "ba", "bd0", "bd1", "bd2", "brgb")
+# The smaller paper variant (`models.py:266-338`) drops one post-skip trunk
+# layer (w5/b5); everything else — conditioning folds, skip wiring, heads —
+# is shared. Its dir-branch expression input folds into the per-ray
+# dir-contribution vector on the JAX side, so the kernel never sees it.
+WEIGHT_NAMES_SMALL = tuple(n for n in WEIGHT_NAMES if n != "w5")
+BIAS_NAMES_SMALL = tuple(n for n in BIAS_NAMES if n != "b5")
+
+
+def _names(small: bool):
+    if small:
+        return WEIGHT_NAMES_SMALL, BIAS_NAMES_SMALL
+    return WEIGHT_NAMES, BIAS_NAMES
 
 
 def fused_paper_mlp_available(num_rays: int, rays_per_tile: int) -> bool:
@@ -98,7 +110,10 @@ def _trunk_forward(x3, enc, dir_c, cond0, cond3, W, n_rays, n_samples):
         _dot(x3, W["w3xa"]) + _dot(enc, W["w3xb"]) + _dot(h2, W["w3h"]) + cond3
     )
     h4 = jax.nn.relu(_dot(h3, W["w4"]) + W["b4"])
-    h5 = jax.nn.relu(_dot(h4, W["w5"]) + W["b5"])
+    if "w5" in W:  # paper model: one more post-skip layer than smaller
+        h5 = jax.nn.relu(_dot(h4, W["w5"]) + W["b5"])
+    else:
+        h5 = h4
     feat = _dot(h5, W["wf"]) + W["bf"]
     alpha = _dot(feat, W["wa"]) + W["ba"]
     hd_pre = _dot(feat, W["wd0"]) + W["bd0"]
@@ -121,14 +136,15 @@ def _trunk_forward(x3, enc, dir_c, cond0, cond3, W, n_rays, n_samples):
     return rgb, alpha, acts
 
 
-def _unpack_weight_refs(refs):
+def _unpack_weight_refs(refs, small: bool = False):
     """Kernel refs -> dict. Weights bf16 as-is; biases f32 rows."""
+    wn, bn = _names(small)
     W = {}
     i = 0
-    for name in WEIGHT_NAMES:
+    for name in wn:
         W[name] = refs[i][:]
         i += 1
-    for name in BIAS_NAMES:
+    for name in bn:
         W[name] = refs[i][:]
         i += 1
     return W, i
@@ -145,9 +161,9 @@ def _points_in_kernel(ro_ref, rd_ref, z_ref, n_rays, n_samples):
     return pts.reshape(n_rays * n_samples, 3)
 
 
-def _fwd_kernel(n_rays, n_samples, *refs):
+def _fwd_kernel(n_rays, n_samples, small, *refs):
     ro_ref, rd_ref, z_ref, dir_ref, cond0_ref, cond3_ref, C_ref, phase_ref = refs[:8]
-    W, used = _unpack_weight_refs(refs[8:])
+    W, used = _unpack_weight_refs(refs[8:], small)
     out_ref = refs[8 + used]
 
     x3 = _points_in_kernel(ro_ref, rd_ref, z_ref, n_rays, n_samples)
@@ -215,10 +231,13 @@ def _trunk_backward(x3, enc, a, W, g_rgb, g_alpha, n_rays, n_samples):
     grads_w["wf"] = dot_t_acc(a["h5"], gfeat)
     grads_b["bf"] = jnp.sum(gfeat, axis=0, keepdims=True)
 
-    gh5 = dot_bt(gfeat, W["wf"]) * m(a["h5"])
-    grads_w["w5"] = dot_t_acc(a["h4"], gh5)
-    grads_b["b5"] = jnp.sum(gh5, axis=0, keepdims=True)
-    gh4 = dot_bt(gh5, W["w5"]) * m(a["h4"])
+    if "w5" in W:
+        gh5 = dot_bt(gfeat, W["wf"]) * m(a["h5"])
+        grads_w["w5"] = dot_t_acc(a["h4"], gh5)
+        grads_b["b5"] = jnp.sum(gh5, axis=0, keepdims=True)
+        gh4 = dot_bt(gh5, W["w5"]) * m(a["h4"])
+    else:  # smaller variant: fc_feat consumes h4 directly
+        gh4 = dot_bt(gfeat, W["wf"]) * m(a["h4"])
     grads_w["w4"] = dot_t_acc(a["h3"], gh4)
     grads_b["b4"] = jnp.sum(gh4, axis=0, keepdims=True)
     gh3 = dot_bt(gh4, W["w4"]) * m(a["h3"])
@@ -239,17 +258,18 @@ def _trunk_backward(x3, enc, a, W, g_rgb, g_alpha, n_rays, n_samples):
     return grads_w, grads_b, d_cond0, d_cond3, d_dir
 
 
-def _bwd_kernel(n_rays, n_samples, *refs):
+def _bwd_kernel(n_rays, n_samples, small, *refs):
     ro_ref, rd_ref, z_ref, dir_ref, cond0_ref, cond3_ref, C_ref, phase_ref = refs[:8]
-    W, used = _unpack_weight_refs(refs[8:])
+    wn, bn = _names(small)
+    W, used = _unpack_weight_refs(refs[8:], small)
     g_ref = refs[8 + used]
     outs = refs[9 + used:]
-    # Output order: dW per WEIGHT_NAMES, db per BIAS_NAMES, dcond0, dcond3,
+    # Output order: dW per weight name, db per bias name, dcond0, dcond3,
     # ddir (per-tile block).
-    d_w = {name: outs[i] for i, name in enumerate(WEIGHT_NAMES)}
-    nw = len(WEIGHT_NAMES)
-    d_b = {name: outs[nw + i] for i, name in enumerate(BIAS_NAMES)}
-    nb = nw + len(BIAS_NAMES)
+    d_w = {name: outs[i] for i, name in enumerate(wn)}
+    nw = len(wn)
+    d_b = {name: outs[nw + i] for i, name in enumerate(bn)}
+    nb = nw + len(bn)
     d_cond0_ref, d_cond3_ref, d_dir_ref = outs[nb], outs[nb + 1], outs[nb + 2]
 
     tile = n_rays * n_samples
@@ -269,18 +289,18 @@ def _bwd_kernel(n_rays, n_samples, *refs):
 
     @pl.when(first)
     def _():
-        for name in WEIGHT_NAMES:
+        for name in wn:
             d_w[name][:] = grads_w[name]
-        for name in BIAS_NAMES:
+        for name in bn:
             d_b[name][:] = grads_b[name]
         d_cond0_ref[:] = d_cond0
         d_cond3_ref[:] = d_cond3
 
     @pl.when(jnp.logical_not(first))
     def _():
-        for name in WEIGHT_NAMES:
+        for name in wn:
             d_w[name][:] += grads_w[name]
-        for name in BIAS_NAMES:
+        for name in bn:
             d_b[name][:] += grads_b[name]
         d_cond0_ref[:] += d_cond0
         d_cond3_ref[:] += d_cond3
@@ -290,9 +310,10 @@ def _const_spec(shape):
     return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
 
 
-def _weight_specs(d_enc):
+def _weight_specs(d_enc, small: bool = False):
+    wn, bn = _names(small)
     shapes = _weight_shapes(d_enc)
-    return [_const_spec(shapes[n]) for n in WEIGHT_NAMES + BIAS_NAMES]
+    return [_const_spec(shapes[n]) for n in wn + bn]
 
 
 def _weight_shapes(d_enc):
@@ -343,11 +364,11 @@ def _pick_fwd_rays_per_tile(n_rays: int, n_samples: int) -> int:
     return _pick_rays_per_tile(n_rays, n_samples, target=4096)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _fused(n_samples: int, rays_per_tile: int, ro, rd, z, dir_c, cond0, cond3, C, phase, *weights):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fused(n_samples: int, rays_per_tile: int, small: bool, ro, rd, z, dir_c, cond0, cond3, C, phase, *weights):
     out, _ = _fused_fwd(
-        n_samples, rays_per_tile, ro, rd, z, dir_c, cond0, cond3, C, phase,
-        *weights
+        n_samples, rays_per_tile, small, ro, rd, z, dir_c, cond0, cond3, C,
+        phase, *weights
     )
     return out
 
@@ -361,7 +382,7 @@ def _ray_specs(tr, n_samples):
     ]
 
 
-def _fused_fwd(n_samples, rays_per_tile, ro, rd, z, dir_c, cond0, cond3, C, phase, *weights):
+def _fused_fwd(n_samples, rays_per_tile, small, ro, rd, z, dir_c, cond0, cond3, C, phase, *weights):
     n_rays = ro.shape[0]
     d_enc = C.shape[-1]
     # forward-only: larger tiles amortize per-grid-step overhead
@@ -375,10 +396,10 @@ def _fused_fwd(n_samples, rays_per_tile, ro, rd, z, dir_c, cond0, cond3, C, phas
         _const_spec((1, HIDDEN)),
         _const_spec((3, d_enc)),
         _const_spec((1, d_enc)),
-    ] + _weight_specs(d_enc)
+    ] + _weight_specs(d_enc, small)
 
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, tr, n_samples),
+        functools.partial(_fwd_kernel, tr, n_samples, small),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
@@ -390,7 +411,7 @@ def _fused_fwd(n_samples, rays_per_tile, ro, rd, z, dir_c, cond0, cond3, C, phas
     return out, (ro, rd, z, dir_c, cond0, cond3, C, phase, weights)
 
 
-def _fused_bwd(n_samples, rays_per_tile, residuals, g):
+def _fused_bwd(n_samples, rays_per_tile, small, residuals, g):
     ro, rd, z, dir_c, cond0, cond3, C, phase, weights = residuals
     n_rays = ro.shape[0]
     d_enc = C.shape[-1]
@@ -403,13 +424,14 @@ def _fused_bwd(n_samples, rays_per_tile, residuals, g):
         _const_spec((1, HIDDEN)),
         _const_spec((3, d_enc)),
         _const_spec((1, d_enc)),
-    ] + _weight_specs(d_enc) + [
+    ] + _weight_specs(d_enc, small) + [
         pl.BlockSpec((tr, n_samples, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     ]
 
+    wn, bn = _names(small)
     out_shapes = (
-        [jax.ShapeDtypeStruct(shapes[n], jnp.float32) for n in WEIGHT_NAMES]
-        + [jax.ShapeDtypeStruct(shapes[n], jnp.float32) for n in BIAS_NAMES]
+        [jax.ShapeDtypeStruct(shapes[n], jnp.float32) for n in wn]
+        + [jax.ShapeDtypeStruct(shapes[n], jnp.float32) for n in bn]
         + [
             jax.ShapeDtypeStruct((1, HIDDEN), jnp.float32),  # d_cond0
             jax.ShapeDtypeStruct((1, HIDDEN), jnp.float32),  # d_cond3
@@ -417,8 +439,8 @@ def _fused_bwd(n_samples, rays_per_tile, residuals, g):
         ]
     )
     out_specs = (
-        [_const_spec(shapes[n]) for n in WEIGHT_NAMES]
-        + [_const_spec(shapes[n]) for n in BIAS_NAMES]
+        [_const_spec(shapes[n]) for n in wn]
+        + [_const_spec(shapes[n]) for n in bn]
         + [
             _const_spec((1, HIDDEN)),
             _const_spec((1, HIDDEN)),
@@ -427,7 +449,7 @@ def _fused_bwd(n_samples, rays_per_tile, residuals, g):
     )
 
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, tr, n_samples),
+        functools.partial(_bwd_kernel, tr, n_samples, small),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -435,8 +457,8 @@ def _fused_bwd(n_samples, rays_per_tile, residuals, g):
         interpret=_interpret(),
     )(ro, rd, z, dir_c, cond0, cond3, C, phase, *weights, g)
 
-    nw = len(WEIGHT_NAMES)
-    nb = nw + len(BIAS_NAMES)
+    nw = len(wn)
+    nb = nw + len(bn)
     d_weights = tuple(
         outs[i].astype(w.dtype)
         for i, w in zip(range(nb), weights)
@@ -455,6 +477,61 @@ def _fused_bwd(n_samples, rays_per_tile, residuals, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _layout_weights(params, cond, d_pe, dc, small, cast=None):
+    """Torch-layout params + per-frame cond -> (cond0, cond3, weights tuple)
+    in kernel layout: transposed (in, out) matrices ordered per
+    `_names(small)`, biases as (1, out) rows, conditioning columns of the
+    two skip layers folded into cond0/cond3. `cast` (e.g. bf16) applies to
+    the matrix weights only; None keeps f32 (the differentiable prefold).
+    """
+
+    def w(name):
+        return params[name + ".weight"]
+
+    def b(name):
+        return params[name + ".bias"]
+
+    cond0 = (w("layers_xyz.0")[:, d_pe:d_pe + dc] @ cond + b("layers_xyz.0"))[None, :]
+    cond3 = (w("layers_xyz.3")[:, d_pe:d_pe + dc] @ cond + b("layers_xyz.3"))[None, :]
+    mats = [
+        w("layers_xyz.0")[:, :3].T,           # w0a (xyz rows)
+        w("layers_xyz.0")[:, 3:d_pe].T,       # w0b (enc rows)
+        w("layers_xyz.1").T,
+        w("layers_xyz.2").T,
+        w("layers_xyz.3")[:, :3].T,           # w3xa
+        w("layers_xyz.3")[:, 3:d_pe].T,       # w3xb
+        w("layers_xyz.3")[:, d_pe + dc:].T,   # w3h
+        w("layers_xyz.4").T,
+    ]
+    biases = [
+        b("layers_xyz.1")[None, :],
+        b("layers_xyz.2")[None, :],
+        b("layers_xyz.4")[None, :],
+    ]
+    if not small:
+        mats.append(w("layers_xyz.5").T)
+        biases.append(b("layers_xyz.5")[None, :])
+    mats += [
+        w("fc_feat").T,
+        w("fc_alpha").T,
+        w("layers_dir.0")[:, :HIDDEN].T,
+        w("layers_dir.1").T,
+        w("layers_dir.2").T,
+        w("fc_rgb").T,
+    ]
+    biases += [
+        b("fc_feat")[None, :],
+        b("fc_alpha")[None, :],
+        b("layers_dir.0")[None, :],
+        b("layers_dir.1")[None, :],
+        b("layers_dir.2")[None, :],
+        b("fc_rgb")[None, :],
+    ]
+    if cast is not None:
+        mats = [m.astype(cast) for m in mats]
+    return cond0, cond3, tuple(mats) + tuple(biases)
+
+
 def fused_paper_mlp(
     params,
     ray_origins: jnp.ndarray,   # (R, 3) f32
@@ -465,13 +542,17 @@ def fused_paper_mlp(
     num_encoding_fn_xyz: int = 10,
     log_sampling_xyz: bool = True,
     rays_per_tile: int = 0,
+    small: bool = False,
 ) -> jnp.ndarray:
-    """Fused forward of ConditionalBlendshapePaperNeRFModel; returns
-    (R, S, 4) radiance [rgb, sigma]. Sample positions (ro + rd·z) AND their
+    """Fused forward of ConditionalBlendshapePaperNeRFModel (or, with
+    `small`, ConditionalBlendshapePaperSmallerNeRFModel — one fewer
+    post-skip trunk layer, `models.py:266-338`); returns (R, S, 4)
+    radiance [rgb, sigma]. Sample positions (ro + rd·z) AND their
     positional encoding are computed inside the kernel — neither the
     (R, S, 3) points nor the (R, S, 63) PE array ever exists in HBM.
     Differentiable w.r.t. params and cond (and hence the latent-code
-    table)."""
+    table). The smaller variant's dir-branch expression input must be
+    pre-folded into `dir_contrib` by the caller."""
     from nerface_tpu.ops.encoding import _encoding_matrix
 
     n_rays, n_samples = z_vals.shape
@@ -484,53 +565,18 @@ def fused_paper_mlp(
     C = jnp.asarray(C_np)
     phase = jnp.asarray(phase_np)[None, :]
 
-    def w(name):
-        return params[name + ".weight"]
-
-    def b(name):
-        return params[name + ".bias"]
-
-    bf16 = jnp.bfloat16
-    # conditioning folds: cond0 = W0[:, d_pe:d_pe+dc] @ cond + b0
-    cond0 = (w("layers_xyz.0")[:, d_pe:d_pe + dc] @ cond + b("layers_xyz.0"))[None, :]
-    cond3 = (w("layers_xyz.3")[:, d_pe:d_pe + dc] @ cond + b("layers_xyz.3"))[None, :]
-
-    weights = (
-        w("layers_xyz.0")[:, :3].T.astype(bf16),          # w0a (xyz rows)
-        w("layers_xyz.0")[:, 3:d_pe].T.astype(bf16),      # w0b (enc rows)
-        w("layers_xyz.1").T.astype(bf16),
-        w("layers_xyz.2").T.astype(bf16),
-        w("layers_xyz.3")[:, :3].T.astype(bf16),          # w3xa
-        w("layers_xyz.3")[:, 3:d_pe].T.astype(bf16),      # w3xb
-        w("layers_xyz.3")[:, d_pe + dc:].T.astype(bf16),  # w3h
-        w("layers_xyz.4").T.astype(bf16),
-        w("layers_xyz.5").T.astype(bf16),
-        w("fc_feat").T.astype(bf16),
-        w("fc_alpha").T.astype(bf16),
-        w("layers_dir.0")[:, :HIDDEN].T.astype(bf16),
-        w("layers_dir.1").T.astype(bf16),
-        w("layers_dir.2").T.astype(bf16),
-        w("fc_rgb").T.astype(bf16),
-        b("layers_xyz.1")[None, :],
-        b("layers_xyz.2")[None, :],
-        b("layers_xyz.4")[None, :],
-        b("layers_xyz.5")[None, :],
-        b("fc_feat")[None, :],
-        b("fc_alpha")[None, :],
-        b("layers_dir.0")[None, :],
-        b("layers_dir.1")[None, :],
-        b("layers_dir.2")[None, :],
-        b("fc_rgb")[None, :],
+    cond0, cond3, weights = _layout_weights(
+        params, cond, d_pe, dc, small, cast=jnp.bfloat16
     )
     return _fused(
-        n_samples, rays_per_tile, ray_origins, ray_directions, z_vals,
+        n_samples, rays_per_tile, small, ray_origins, ray_directions, z_vals,
         dir_contrib, cond0, cond3, C, phase, *weights
     )
 
 
 # -- fused render (forward-only): MLP + volume compositing in one kernel ----
 
-def _render_kernel(n_rays, n_samples, has_bg, white_background,
+def _render_kernel(n_rays, n_samples, small, has_bg, white_background,
                    out_weights, *refs):
     """Evaluate the radiance field AND composite it per ray tile — the
     (R, S, 4) radiance never exists in HBM. Eval-path only (no VJP; sigma
@@ -546,7 +592,7 @@ def _render_kernel(n_rays, n_samples, has_bg, white_background,
         i += 1
     tri_ref = refs[i]
     i += 1
-    W, used = _unpack_weight_refs(refs[i:])
+    W, used = _unpack_weight_refs(refs[i:], small)
     rgb_ref, disp_ref, acc_ref, depth_ref, bgw_ref = refs[i + used:i + used + 5]
     w_ref = refs[i + used + 5] if out_weights else None
 
@@ -628,6 +674,7 @@ def fused_paper_render(
     num_encoding_fn_xyz: int = 10,
     log_sampling_xyz: bool = True,
     out_weights: bool = False,
+    small: bool = False,
 ):
     """Forward-only fused render: radiance evaluation + alpha compositing
     per ray tile. Returns dict(rgb (R,3), disp, acc, depth, bg_weight
@@ -649,41 +696,8 @@ def fused_paper_render(
     # strictly upper triangular: column i sums log-terms j < i
     tri = jnp.triu(jnp.ones((n_samples, n_samples), jnp.float32), k=1)
 
-    def w(name):
-        return params[name + ".weight"]
-
-    def b(name):
-        return params[name + ".bias"]
-
-    bf16 = jnp.bfloat16
-    cond0 = (w("layers_xyz.0")[:, d_pe:d_pe + dc] @ cond + b("layers_xyz.0"))[None, :]
-    cond3 = (w("layers_xyz.3")[:, d_pe:d_pe + dc] @ cond + b("layers_xyz.3"))[None, :]
-    weights = (
-        w("layers_xyz.0")[:, :3].T.astype(bf16),
-        w("layers_xyz.0")[:, 3:d_pe].T.astype(bf16),
-        w("layers_xyz.1").T.astype(bf16),
-        w("layers_xyz.2").T.astype(bf16),
-        w("layers_xyz.3")[:, :3].T.astype(bf16),
-        w("layers_xyz.3")[:, 3:d_pe].T.astype(bf16),
-        w("layers_xyz.3")[:, d_pe + dc:].T.astype(bf16),
-        w("layers_xyz.4").T.astype(bf16),
-        w("layers_xyz.5").T.astype(bf16),
-        w("fc_feat").T.astype(bf16),
-        w("fc_alpha").T.astype(bf16),
-        w("layers_dir.0")[:, :HIDDEN].T.astype(bf16),
-        w("layers_dir.1").T.astype(bf16),
-        w("layers_dir.2").T.astype(bf16),
-        w("fc_rgb").T.astype(bf16),
-        b("layers_xyz.1")[None, :],
-        b("layers_xyz.2")[None, :],
-        b("layers_xyz.4")[None, :],
-        b("layers_xyz.5")[None, :],
-        b("fc_feat")[None, :],
-        b("fc_alpha")[None, :],
-        b("layers_dir.0")[None, :],
-        b("layers_dir.1")[None, :],
-        b("layers_dir.2")[None, :],
-        b("fc_rgb")[None, :],
+    cond0, cond3, weights = _layout_weights(
+        params, cond, d_pe, dc, small, cast=jnp.bfloat16
     )
 
     has_bg = background is not None
@@ -704,7 +718,7 @@ def fused_paper_render(
         args.append(background)
     in_specs.append(_const_spec((n_samples, n_samples)))
     args.append(tri)
-    in_specs += _weight_specs(d_enc)
+    in_specs += _weight_specs(d_enc, small)
     args += list(weights)
 
     def _out(width):
@@ -719,7 +733,7 @@ def fused_paper_render(
     out_specs, out_shapes = zip(*outs)
     res = pl.pallas_call(
         functools.partial(
-            _render_kernel, tr, n_samples, has_bg, white_background,
+            _render_kernel, tr, n_samples, small, has_bg, white_background,
             out_weights,
         ),
         grid=grid,

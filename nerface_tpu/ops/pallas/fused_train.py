@@ -68,6 +68,7 @@ if _PALLAS_OK:
 def _train_kernel(
     n_rays,
     n_samples,
+    small,
     has_bg,
     train_bg,
     white_background,
@@ -95,13 +96,14 @@ def _train_kernel(
         i += 1
     tri_ref = refs[i]
     i += 1
-    W, used = _unpack_weight_refs(refs[i:])
+    wn, bn = _fm._names(small)
+    W, used = _unpack_weight_refs(refs[i:], small)
     outs = refs[i + used:]
     rgb_ref, w_out_ref = outs[0], outs[1]
-    d_w = {name: outs[2 + k] for k, name in enumerate(WEIGHT_NAMES)}
-    nw = 2 + len(WEIGHT_NAMES)
-    d_b = {name: outs[nw + k] for k, name in enumerate(BIAS_NAMES)}
-    nb = nw + len(BIAS_NAMES)
+    d_w = {name: outs[2 + k] for k, name in enumerate(wn)}
+    nw = 2 + len(wn)
+    d_b = {name: outs[nw + k] for k, name in enumerate(bn)}
+    nb = nw + len(bn)
     d_cond0_ref, d_cond3_ref, d_dir_ref = outs[nb], outs[nb + 1], outs[nb + 2]
     d_bg_ref = outs[nb + 3] if train_bg else None
 
@@ -227,74 +229,59 @@ def _train_kernel(
 
     @pl.when(first)
     def _():
-        for name in WEIGHT_NAMES:
+        for name in wn:
             d_w[name][:] = grads_w[name]
-        for name in BIAS_NAMES:
+        for name in bn:
             d_b[name][:] = grads_b[name]
         d_cond0_ref[:] = d_cond0
         d_cond3_ref[:] = d_cond3
 
     @pl.when(jnp.logical_not(first))
     def _():
-        for name in WEIGHT_NAMES:
+        for name in wn:
             d_w[name][:] += grads_w[name]
-        for name in BIAS_NAMES:
+        for name in bn:
             d_b[name][:] += grads_b[name]
         d_cond0_ref[:] += d_cond0
         d_cond3_ref[:] += d_cond3
 
 
-def prefold_paper_params(params, cond, pe_dir, num_encoding_fn_xyz: int):
+def prefold_paper_params(
+    params, cond, pe_dir, num_encoding_fn_xyz: int, small: bool = False,
+    dir_expr_offset: int = 0,
+):
     """Differentiable, all-f32 map from torch-layout paper-model params to
     the kernel input bundle: (cond0, cond3, dir_contrib, *weights, *biases).
 
     `cond` is the per-frame [expr/3; latent] vector; `pe_dir` the (R, Dd)
-    encoded direction-branch input. The conditioning folds and the weight
-    transposes happen here so `jax.vjp` over this function chains the
-    kernel's f32 gradients back to the real parameter tree.
+    encoded direction-branch input. With `small` the smaller paper variant
+    is laid out (no layers_xyz.5), and a nonzero `dir_expr_offset` (the
+    input column where the expression block starts: 256 + declared dir
+    width) folds the expression part of `cond` into `dir_contrib` — the
+    smaller model's dir branch consumes [feat; dirs; expr/3]
+    (`models.py:330`).
+    The conditioning folds and the weight transposes happen here so
+    `jax.vjp` over this function chains the kernel's f32 gradients back to
+    the real parameter tree.
     """
     from nerface_tpu.models.mlp import linear_cols
 
     d_pe = 3 + 2 * num_encoding_fn_xyz * 3
     dc = cond.shape[-1]
 
-    def w(name):
-        return params[name + ".weight"]
-
-    def b(name):
-        return params[name + ".bias"]
-
-    cond0 = (w("layers_xyz.0")[:, d_pe:d_pe + dc] @ cond + b("layers_xyz.0"))[None, :]
-    cond3 = (w("layers_xyz.3")[:, d_pe:d_pe + dc] @ cond + b("layers_xyz.3"))[None, :]
+    cond0, cond3, weights = _fm._layout_weights(
+        params, cond, d_pe, dc, small, cast=None
+    )
     dd = pe_dir.shape[-1]
     dir_contrib = linear_cols(params, "layers_dir.0", pe_dir, HIDDEN, HIDDEN + dd)
-    weights = (
-        w("layers_xyz.0")[:, :3].T,
-        w("layers_xyz.0")[:, 3:d_pe].T,
-        w("layers_xyz.1").T,
-        w("layers_xyz.2").T,
-        w("layers_xyz.3")[:, :3].T,
-        w("layers_xyz.3")[:, 3:d_pe].T,
-        w("layers_xyz.3")[:, d_pe + dc:].T,
-        w("layers_xyz.4").T,
-        w("layers_xyz.5").T,
-        w("fc_feat").T,
-        w("fc_alpha").T,
-        w("layers_dir.0")[:, :HIDDEN].T,
-        w("layers_dir.1").T,
-        w("layers_dir.2").T,
-        w("fc_rgb").T,
-        b("layers_xyz.1")[None, :],
-        b("layers_xyz.2")[None, :],
-        b("layers_xyz.4")[None, :],
-        b("layers_xyz.5")[None, :],
-        b("fc_feat")[None, :],
-        b("fc_alpha")[None, :],
-        b("layers_dir.0")[None, :],
-        b("layers_dir.1")[None, :],
-        b("layers_dir.2")[None, :],
-        b("fc_rgb")[None, :],
-    )
+    if dir_expr_offset:
+        # expression per-frame constant: one (128,) vector broadcast per ray
+        w_dir = params["layers_dir.0.weight"]
+        expr3 = cond[: dc - 32]  # [expr/3; latent(32)] layout
+        n_expr = dc - 32
+        dir_contrib = dir_contrib + (
+            w_dir[:, dir_expr_offset:dir_expr_offset + n_expr] @ expr3
+        )
     return (cond0, cond3, dir_contrib) + weights
 
 
@@ -314,6 +301,7 @@ def fused_train_pass(
     train_bg: bool = False,
     num_encoding_fn_xyz: int = 10,
     log_sampling_xyz: bool = True,
+    small: bool = False,
 ):
     """One training pass (coarse or fine) through the fused kernel.
 
@@ -329,10 +317,11 @@ def fused_train_pass(
     tr = _pick_rays_per_tile(n_rays, n_samples)
     grid = (n_rays // tr,)
 
+    wn, bn = _fm._names(small)
     cond0, cond3, dir_contrib = bundle[0], bundle[1], bundle[2]
     weights_f32 = bundle[3:]
     bf16 = jnp.bfloat16
-    n_w = len(WEIGHT_NAMES)
+    n_w = len(wn)
     weights = tuple(x.astype(bf16) for x in weights_f32[:n_w]) + tuple(
         weights_f32[n_w:]
     )
@@ -370,7 +359,7 @@ def fused_train_pass(
         args.append(noise)
     in_specs.append(_const_spec((n_samples, n_samples)))
     args.append(tri)
-    in_specs += _weight_specs(d_enc)
+    in_specs += _weight_specs(d_enc, small)
     args += list(weights)
 
     out_specs = [
@@ -381,7 +370,7 @@ def fused_train_pass(
         jax.ShapeDtypeStruct((n_rays, 3), jnp.float32),
         jax.ShapeDtypeStruct((n_rays, n_samples), jnp.float32),
     ]
-    for name in WEIGHT_NAMES + BIAS_NAMES:
+    for name in wn + bn:
         out_specs.append(_const_spec(shapes[name]))
         out_shapes.append(jax.ShapeDtypeStruct(shapes[name], jnp.float32))
     out_specs += [
@@ -402,7 +391,7 @@ def fused_train_pass(
 
     res = pl.pallas_call(
         functools.partial(
-            _train_kernel, tr, n_samples, has_bg, train_bg,
+            _train_kernel, tr, n_samples, small, has_bg, train_bg,
             white_background, noise_std if has_noise else 0.0,
             loss_scale, sup_bg_scale,
         ),
@@ -415,8 +404,8 @@ def fused_train_pass(
 
     outs = {"rgb": res[0], "weights": res[1]}
     k = 2
-    d_weights = tuple(res[k + j] for j in range(n_w + len(BIAS_NAMES)))
-    k += n_w + len(BIAS_NAMES)
+    d_weights = tuple(res[k + j] for j in range(n_w + len(bn)))
+    k += n_w + len(bn)
     d_cond0, d_cond3, d_dir = res[k], res[k + 1], res[k + 2]
     d_bg = res[k + 3] if train_bg else None
     grads = (d_cond0, d_cond3, d_dir) + d_weights

@@ -120,6 +120,65 @@ class RenderSettings:
         )
 
 
+def _fused_variant(model) -> Optional[bool]:
+    """None if the model has no fused kernel; else the kernel's `small`
+    flag (False = flagship paper model, True = the smaller paper variant
+    with one fewer post-skip trunk layer and expr in the dir branch)."""
+    from nerface_tpu.models.nerf_models import (
+        ConditionalBlendshapePaperNeRFModel,
+        ConditionalBlendshapePaperSmallerNeRFModel,
+    )
+
+    if isinstance(model, ConditionalBlendshapePaperSmallerNeRFModel):
+        return True
+    if isinstance(model, ConditionalBlendshapePaperNeRFModel):
+        return False
+    return None
+
+
+def _fused_model_ok(model, encode_xyz, pe_dir, expr, latent) -> bool:
+    """Shared static shape/structure checks for all fused entry points."""
+    small = _fused_variant(model)
+    if small is None:
+        return False
+    if pe_dir is None or expr is None or latent is None:
+        return False
+    if expr.ndim != 1 or latent.ndim != 1:
+        return False
+    if not encode_xyz.include_input:
+        return False
+    if model.dim_xyz != 3 + 6 * encode_xyz.num_encoding_functions:
+        return False
+    # apply() slices the first pe_dir-width dir columns; the model may
+    # declare more (include_input_dir default) — same slice here
+    if model.dim_dir < pe_dir.shape[-1]:
+        return False
+    if small and getattr(model, "dim_expression", 0) != 76:
+        return False
+    return True
+
+
+def _fused_conditioning(model, params, pe_dir, expr, latent):
+    """(cond, dir_contrib, small) for a fused call on `model`."""
+    from nerface_tpu.models.mlp import cond_contribution, linear_cols
+
+    small = bool(_fused_variant(model))
+    cond = jnp.concatenate([expr * (1.0 / 3.0), latent])
+    dd = pe_dir.shape[-1]
+    dir_contrib = linear_cols(params, "layers_dir.0", pe_dir, 256, 256 + dd)
+    if small:
+        # smaller variant: dir branch consumes [feat; dirs; expr/3]
+        # (`models.py:330`) — the per-frame expression folds to one vector.
+        # Expression columns start at the DECLARED dir width (the model may
+        # declare more dir columns than pe_dir provides — the include_input
+        # quirk shared with the paper model).
+        dir_contrib = dir_contrib + cond_contribution(
+            params, "layers_dir.0",
+            [(expr * (1.0 / 3.0), model.dim_expression)], 256 + model.dim_dir,
+        )
+    return cond, dir_contrib, small
+
+
 def _apply_model(
     model, params, ro, rd, z_vals, encode_xyz: "EncodeSpec", pe_dir,
     expr, latent, dtype, fused: str
@@ -127,29 +186,19 @@ def _apply_model(
     """Encode + evaluate the radiance field: dispatch to the fused Pallas
     MLP (which computes the positional encoding in VMEM) when eligible,
     else positional-encode and run the pure-JAX apply. Eligibility (all
-    trace-time static): flagship paper model, structured (R, S, 3) points,
+    trace-time static): paper model family, structured (R, S, 3) points,
     per-frame 1-D conditioning, include-input log/linear PE, TPU backend,
     ray count divisible by the tile size."""
     if fused != "off":
-        from nerface_tpu.models.nerf_models import ConditionalBlendshapePaperNeRFModel
-
         want = fused == "on" or (fused == "auto" and dtype == jnp.bfloat16)
         if (
             want
-            and isinstance(model, ConditionalBlendshapePaperNeRFModel)
             and ro.ndim == 2
             and z_vals.ndim == 2
-            and encode_xyz.include_input
             and pe_dir is not None
             and pe_dir.ndim == 2
-            and expr is not None and expr.ndim == 1
-            and latent is not None and latent.ndim == 1
-            and model.dim_xyz == 3 + 6 * encode_xyz.num_encoding_functions
-            # apply() slices the first pe_dir-width dir columns; the model
-            # may declare more (include_input_dir default) — same slice here
-            and model.dim_dir >= pe_dir.shape[-1]
+            and _fused_model_ok(model, encode_xyz, pe_dir, expr, latent)
         ):
-            from nerface_tpu.models.mlp import linear_cols
             from nerface_tpu.ops.pallas.fused_mlp import (
                 _pick_rays_per_tile,
                 fused_paper_mlp,
@@ -158,16 +207,15 @@ def _apply_model(
 
             tr = _pick_rays_per_tile(z_vals.shape[0], z_vals.shape[1])
             if fused_paper_mlp_available(z_vals.shape[0], tr):
-                cond = jnp.concatenate([expr * (1.0 / 3.0), latent])
-                dd = pe_dir.shape[-1]
-                dir_contrib = linear_cols(
-                    params, "layers_dir.0", pe_dir, 256, 256 + dd
+                cond, dir_contrib, small = _fused_conditioning(
+                    model, params, pe_dir, expr, latent
                 )
                 return fused_paper_mlp(
                     params, ro, rd, z_vals, dir_contrib, cond,
                     num_encoding_fn_xyz=encode_xyz.num_encoding_functions,
                     log_sampling_xyz=encode_xyz.log_sampling,
                     rays_per_tile=tr,
+                    small=small,
                 )
     pts = ro[..., None, :] + rd[..., None, :] * z_vals[..., :, None]
     pe_xyz = encode_xyz(pts)
@@ -187,23 +235,12 @@ def _fused_render_eligible(
         return False
     if settings.radiance_field_noise_std > 0.0:
         return False
-    from nerface_tpu.models.nerf_models import ConditionalBlendshapePaperNeRFModel
     from nerface_tpu.ops.pallas.fused_mlp import (
         _pick_rays_per_tile,
         fused_paper_mlp_available,
     )
 
-    if not isinstance(model, ConditionalBlendshapePaperNeRFModel):
-        return False
-    if pe_dir is None or expr is None or latent is None:
-        return False
-    if expr.ndim != 1 or latent.ndim != 1:
-        return False
-    if not settings.encode_xyz.include_input:
-        return False
-    if model.dim_xyz != 3 + 6 * settings.encode_xyz.num_encoding_functions:
-        return False
-    if model.dim_dir < pe_dir.shape[-1]:
+    if not _fused_model_ok(model, settings.encode_xyz, pe_dir, expr, latent):
         return False
     tr = _pick_rays_per_tile(ro.shape[0], z_all.shape[-1])
     return fused_paper_mlp_available(ro.shape[0], tr)
@@ -287,13 +324,10 @@ def render_rays(
     if _fused_render_eligible(
         model_coarse, ro, z_vals, pe_dir, expressions, latent_code, settings
     ):
-        from nerface_tpu.models.mlp import linear_cols
         from nerface_tpu.ops.pallas.fused_mlp import fused_paper_render
 
-        _cond = jnp.concatenate([expressions * (1.0 / 3.0), latent_code])
-        _dd = pe_dir.shape[-1]
-        _dir_contrib = linear_cols(
-            params_coarse, "layers_dir.0", pe_dir, 256, 256 + _dd
+        _cond, _dir_contrib, _small = _fused_conditioning(
+            model_coarse, params_coarse, pe_dir, expressions, latent_code
         )
         fc = fused_paper_render(
             params_coarse, ro, rd, z_vals, _dir_contrib, _cond,
@@ -302,6 +336,7 @@ def render_rays(
             num_encoding_fn_xyz=settings.encode_xyz.num_encoding_functions,
             log_sampling_xyz=settings.encode_xyz.log_sampling,
             out_weights=True,
+            small=_small,
         )
         rgb_coarse, disp_coarse, acc_coarse = fc["rgb"], fc["disp"], fc["acc"]
         weights, depth_coarse = fc["weights"], fc["depth"]
@@ -354,15 +389,10 @@ def render_rays(
         if _fused_render_eligible(
             model_fine, ro, z_all, pe_dir, expressions, latent_code, settings
         ):
-            from nerface_tpu.models.mlp import linear_cols
             from nerface_tpu.ops.pallas.fused_mlp import fused_paper_render
 
-            cond = jnp.concatenate(
-                [expressions * (1.0 / 3.0), latent_code]
-            )
-            dd = pe_dir.shape[-1]
-            dir_contrib = linear_cols(
-                params_fine, "layers_dir.0", pe_dir, 256, 256 + dd
+            cond, dir_contrib, small = _fused_conditioning(
+                model_fine, params_fine, pe_dir, expressions, latent_code
             )
             fr = fused_paper_render(
                 params_fine, ro, rd, z_all, dir_contrib, cond,
@@ -370,6 +400,7 @@ def render_rays(
                 white_background=settings.white_background,
                 num_encoding_fn_xyz=settings.encode_xyz.num_encoding_functions,
                 log_sampling_xyz=settings.encode_xyz.log_sampling,
+                small=small,
             )
             out.update(
                 rgb_fine=fr["rgb"], disp_fine=fr["disp"],

@@ -385,7 +385,17 @@ def mesh_bbox(
     fx, fy, cx, cy = intrinsics[:4]
     u = fx * v_cam[valid, 0] / -z[valid] + cx
     vv = -fy * v_cam[valid, 1] / -z[valid] + cy
-    return _enlarge_and_normalize(vv.min(), vv.max(), u.min(), u.max(), H, W)
+    # The reference's extremes come from a RASTERIZED mask, which the
+    # viewport inherently clips — so clip the projected extremes to the
+    # image BEFORE the enlargement ratios are applied (`find_bbox` sees
+    # only on-screen pixels). Perspective maps triangles to triangles, so
+    # inside the viewport vertex extremes == mask extremes up to pixel
+    # discretization (pinned by tests/test_rasterizer.py).
+    h_min = np.clip(vv.min(), 0, H - 1)
+    h_max = np.clip(vv.max(), 0, H - 1)
+    w_min = np.clip(u.min(), 0, W - 1)
+    w_max = np.clip(u.max(), 0, W - 1)
+    return _enlarge_and_normalize(h_min, h_max, w_min, w_max, H, W)
 
 
 # --------------------------------------------------------------------------
@@ -450,6 +460,53 @@ def _copy_frame(src_path: str, dst_path: str) -> None:
 
     with Image.open(src_path) as im:
         im.save(dst_path, "png")
+
+
+def write_debug_overlays(
+    cfg: BuilderConfig,
+    frame_range=None,
+    log: bool = True,
+) -> int:
+    """Debug camera-overlay frames (`real_to_nerf.py:1520-1543`): the mean
+    face rasterized under each rigid pose (tools/rasterizer.py — no GL
+    stack) and blended onto the source frame, 0.8·render + 0.2·image where
+    the render is non-white, saved to target/debug_vis/r_%04d.png. A quick
+    visual check that the tracked poses and the scene scale line up.
+    Returns the number of frames written."""
+    from PIL import Image
+
+    from nerface_tpu.tools.rasterizer import load_off_mesh, render_mask_image
+
+    if cfg.mesh_path is None:
+        raise ValueError("debug overlays need mesh_path (average.off)")
+    names, N, im_size, intrinsics, _, rigid_poses, scale = _load_source(cfg)
+    verts, faces = load_off_mesh(cfg.mesh_path)
+    out_dir = os.path.join(cfg.target, "debug_vis")
+    os.makedirs(out_dir, exist_ok=True)
+    if frame_range is None:
+        frame_range = range(min(N, 100))
+    written = 0
+    for i in frame_range:
+        if i >= N:
+            break
+        color = render_mask_image(
+            verts, faces, rigid_poses[i], intrinsics,
+            H=im_size[0], W=im_size[1], scale=scale,
+        )
+        with Image.open(
+            os.path.join(cfg.source, "images", names[i])
+        ) as im:
+            im_real = np.asarray(im.convert("RGB"))
+        overlay = np.copy(im_real)
+        idx = np.where(color < 255)
+        overlay[idx] = (0.8 * color[idx] + 0.2 * overlay[idx]).astype(np.uint8)
+        Image.fromarray(overlay).save(
+            os.path.join(out_dir, "r_%04d.png" % i)
+        )
+        written += 1
+        if log and written % 50 == 0:
+            print(f"[debug_vis] {written} overlays")
+    return written
 
 
 def build_dataset(cfg: BuilderConfig, log: bool = True) -> Dict[str, np.ndarray]:

@@ -46,16 +46,16 @@ def fused_train_eligible(
 ) -> bool:
     """Trace-time check: can this (models, settings, flags, batch shape)
     train through the one-pass fused kernel with identical semantics?"""
-    from nerface_tpu.models.nerf_models import ConditionalBlendshapePaperNeRFModel
     from nerface_tpu.ops.pallas.fused_train import fused_train_available
+    from nerface_tpu.render.pipeline import _fused_variant
 
     if settings.fused == "off":
         return False
     if not (settings.fused == "on" or (settings.fused == "auto" and dtype == jnp.bfloat16)):
         return False
-    if not isinstance(model_coarse, ConditionalBlendshapePaperNeRFModel):
-        return False
-    if not isinstance(model_fine, ConditionalBlendshapePaperNeRFModel):
+    small_c = _fused_variant(model_coarse)
+    small_f = _fused_variant(model_fine)
+    if small_c is None or small_c != small_f:
         return False
     if settings.num_fine <= 0 or not settings.no_ndc:
         return False
@@ -65,6 +65,8 @@ def fused_train_eligible(
         return False
     for m in (model_coarse, model_fine):
         if m.dim_xyz != 3 + 6 * settings.encode_xyz.num_encoding_functions:
+            return False
+        if small_c and getattr(m, "dim_expression", 0) != 76:
             return False
     # latent vector must exist (from the table or the zeros ablation)
     if not (flags.train_latent_codes or flags.disable_latent_codes):
@@ -122,14 +124,24 @@ def fused_value_and_grad(
     )
 
     # --- differentiable prefold: params tree -> kernel bundles --------------
+    from nerface_tpu.render.pipeline import _fused_variant
+
+    small = bool(_fused_variant(model_coarse))
+    # smaller variant: expression block starts after the DECLARED dir width
+    dir_off = (256 + model_coarse.dim_dir) if small else 0
+
     def make_bundles(p):
         if train_latent:
             latent = p["latent_codes"][batch["latent_index"]]
         else:  # disable_latent_codes ablation: constant zeros
             latent = jnp.zeros((32,), jnp.float32)
         cond = jnp.concatenate([expression * (1.0 / 3.0), latent])
-        bc = prefold_paper_params(p["coarse"], cond, pe_dir, L)
-        bf = prefold_paper_params(p["fine"], cond, pe_dir, L)
+        bc = prefold_paper_params(
+            p["coarse"], cond, pe_dir, L, small=small, dir_expr_offset=dir_off
+        )
+        bf = prefold_paper_params(
+            p["fine"], cond, pe_dir, L, small=small, dir_expr_offset=dir_off
+        )
         bgp = None
         if train_bg:
             bgp = p["background"].reshape(-1, 3)[batch["pixel_indices"]]
@@ -154,6 +166,7 @@ def fused_value_and_grad(
         num_encoding_fn_xyz=L,
         log_sampling_xyz=settings.encode_xyz.log_sampling,
         train_bg=train_bg,
+        small=small,
     )
 
     # --- coarse pass ---------------------------------------------------------

@@ -283,3 +283,40 @@ class TestBuildDataset:
         indices = build_dataset(cfg, log=False)
         total = sum(len(v) for v in indices.values())
         assert total == 6  # 12 * 0.5
+
+
+class TestDebugOverlays:
+    def test_write_debug_overlays(self, tmp_path):
+        """Equivalent of the reference's debug_vis frames
+        (`real_to_nerf.py:1520-1543`): mean-face render blended onto the
+        source frame where non-white."""
+        from nerface_tpu.tools.dataset_builder import (
+            BuilderConfig,
+            write_debug_overlays,
+        )
+
+        src = _make_tracker_dir(str(tmp_path / "src"), N=4, W=32, H=32)
+        # a face-sized tetrahedron at the origin, micrometer units
+        verts = np.array([
+            [0, 0, 0], [1, 0, 0.2], [0, 1, 0.2], [1, 1, 0],
+        ]) * 0.4e6
+        mesh = str(tmp_path / "tet.off")
+        with open(mesh, "w") as f:
+            f.write("OFF\n4 2 0\n")
+            for v in verts:
+                f.write("%f %f %f\n" % tuple(v))
+            f.write("3 0 1 2\n3 1 3 2\n")
+        cfg = BuilderConfig(
+            source=src, target=str(tmp_path / "out"), mesh_path=mesh
+        )
+        n = write_debug_overlays(cfg, range(2), log=False)
+        assert n == 2
+        from PIL import Image
+
+        f0 = tmp_path / "out" / "debug_vis" / "r_0000.png"
+        assert f0.exists()
+        im = np.asarray(Image.open(f0))
+        assert im.shape == (32, 32, 3)
+        # the overlay must actually differ from the source frame somewhere
+        src_im = np.asarray(Image.open(tmp_path / "src" / "images" / "00000.png"))
+        assert (im != src_im).any()

@@ -198,6 +198,24 @@ class TestFusedTrainParity:
             state,
         )
 
+    def test_smaller_variant_grads_match_xla_path(self):
+        """ConditionalBlendshapePaperSmallerNeRFModel through the one-pass
+        train kernel (small=True, expr folded into the dir branch)."""
+        small_model = MODELS["ConditionalBlendshapePaperSmallerNeRFModel"](
+            num_encoding_fn_xyz=10, num_encoding_fn_dir=4
+        )
+        rng = np.random.RandomState(8)
+        flags = FeatureFlags()
+        state, _ = create_train_state(
+            jax.random.PRNGKey(0), small_model, small_model, _cfg(), flags,
+            n_train=4, background=jnp.zeros((8, 8, 3)),
+        )
+        m = _compare(
+            small_model, flags, _batch(rng), _settings("on"),
+            _settings("off"), state,
+        )
+        assert np.isfinite(float(m["loss"]))
+
     def test_matches_old_fused_path(self, model):
         """Tight comparison against the pre-existing fused custom-VJP path
         (fused MLP kernel + XLA compositing + jax.grad). Both sides use the

@@ -310,3 +310,112 @@ class TestFusedResample:
         ref = merge_sorted_zvals(z, zs)
         out = fused_resample(z, w, u)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+class TestSmallerVariant:
+    """ConditionalBlendshapePaperSmallerNeRFModel through the same kernel
+    (`small=True`): 5-layer trunk, dir branch consumes [feat; dirs; expr/3]
+    (`models.py:266-338`) — the expression folds into dir_contrib."""
+
+    @pytest.fixture(scope="class")
+    def ssetup(self):
+        model = MODELS["ConditionalBlendshapePaperSmallerNeRFModel"](
+            num_encoding_fn_xyz=10, num_encoding_fn_dir=4
+        )
+        params = model.init(jax.random.PRNGKey(1))
+        R, S = 8, 16
+        rng = np.random.RandomState(1)
+        ro = jnp.asarray(rng.randn(R, 3).astype(np.float32) * 0.1)
+        rd = jnp.asarray(rng.randn(R, 3).astype(np.float32))
+        z = jnp.asarray(np.cumsum(rng.rand(R, S).astype(np.float32) * 0.05, -1))
+        dirs = jnp.asarray(rng.randn(R, 3).astype(np.float32))
+        pe_dir = positional_encoding(dirs, 4, False, True)
+        expr = jnp.asarray(rng.randn(76).astype(np.float32) * 0.1)
+        latent = jnp.asarray(rng.randn(32).astype(np.float32) * 0.1)
+        return model, params, (ro, rd, z), pe_dir, expr, latent
+
+    def _fused(self, model, params, rays, pe_dir, expr, latent, tr=4):
+        from nerface_tpu.render.pipeline import _fused_conditioning
+
+        cond, dir_contrib, small = _fused_conditioning(
+            model, params, pe_dir, expr, latent
+        )
+        assert small is True
+        ro, rd, z = rays
+        return fused_paper_mlp(
+            params, ro, rd, z, dir_contrib, cond, num_encoding_fn_xyz=10,
+            rays_per_tile=tr, small=True,
+        )
+
+    def test_forward_matches_apply(self, ssetup):
+        model, params, rays, pe_dir, expr, latent = ssetup
+        pe = positional_encoding(_pts(rays), 10, True, True)
+        ref = model.apply(params, pe, pe_dir, expr, latent)
+        out = self._fused(model, params, rays, pe_dir, expr, latent)
+        assert out.shape == ref.shape == (8, 16, 4)
+        scale = float(jnp.abs(ref).max())
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=0.01 * scale
+        )
+
+    def test_grads_match_apply(self, ssetup):
+        model, params, rays, pe_dir, expr, latent = ssetup
+        pe = positional_encoding(_pts(rays), 10, True, True)
+
+        def loss_fused(params, latent, expr):
+            return jnp.sum(
+                self._fused(model, params, rays, pe_dir, expr, latent) ** 2
+            )
+
+        def loss_ref(params, latent, expr):
+            return jnp.sum(
+                model.apply(
+                    params, pe, pe_dir, expr, latent, dtype=jnp.bfloat16
+                ) ** 2
+            )
+
+        g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(params, latent, expr)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(params, latent, expr)
+        for k in g2[0]:
+            a, b = np.asarray(g1[0][k]), np.asarray(g2[0][k])
+            assert a.shape == b.shape, k
+            rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-8)
+            assert rel < 0.05, (k, rel)
+        for i in (1, 2):  # latent and expression grads
+            rel = np.abs(np.asarray(g1[i]) - np.asarray(g2[i])).max() / (
+                np.abs(np.asarray(g2[i])).max() + 1e-8
+            )
+            assert rel < 0.05, i
+
+    def test_render_kernel_matches_composite(self, ssetup):
+        from nerface_tpu.ops.compositing import (
+            inject_background,
+            volume_render_radiance_field,
+        )
+        from nerface_tpu.ops.pallas.fused_mlp import fused_paper_render
+        from nerface_tpu.render.pipeline import _fused_conditioning
+
+        model, params, rays, pe_dir, expr, latent = ssetup
+        ro, rd, z = rays
+        rng = np.random.RandomState(5)
+        bg = jnp.asarray(rng.rand(8, 3).astype(np.float32))
+        cond, dir_contrib, small = _fused_conditioning(
+            model, params, pe_dir, expr, latent
+        )
+        out = fused_paper_render(
+            params, ro, rd, z, dir_contrib, cond, background=bg,
+            num_encoding_fn_xyz=10, out_weights=True, small=True,
+        )
+        pe = positional_encoding(_pts(rays), 10, True, True)
+        radiance = model.apply(params, pe, pe_dir, expr, latent)
+        radiance = inject_background(radiance, bg)
+        rgb, disp, acc, weights, _ = volume_render_radiance_field(
+            radiance, z, rd, background_prior=bg
+        )
+        scale = float(jnp.abs(rgb).max())
+        np.testing.assert_allclose(
+            np.asarray(out["rgb"]), np.asarray(rgb), atol=0.02 * scale
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["weights"]), np.asarray(weights), atol=2e-2
+        )
