@@ -217,6 +217,56 @@ def _apply_model(
                     rays_per_tile=tr,
                     small=small,
                 )
+        if (
+            want
+            and ro.ndim == 2
+            and z_vals.ndim == 2
+            and pe_dir is not None
+            and pe_dir.ndim == 2
+            and (expr is None or expr.ndim == 1)
+            and (latent is None or latent.ndim == 1)
+            and (not getattr(model, "takes_expression", False) or expr is not None)
+            and (not getattr(model, "takes_latent", False) or latent is not None)
+        ):
+            from nerface_tpu.ops.pallas.fused_flex import (
+                flex_fused_eligible,
+                fused_flex_mlp,
+            )
+
+            if flex_fused_eligible(model, encode_xyz, pe_dir):
+                from nerface_tpu.models.mlp import cond_contribution, linear_cols
+                from nerface_tpu.ops.pallas.fused_mlp import (
+                    _pick_rays_per_tile,
+                    fused_paper_mlp_available,
+                )
+
+                tr = _pick_rays_per_tile(z_vals.shape[0], z_vals.shape[1])
+                if fused_paper_mlp_available(z_vals.shape[0], tr):
+                    h = model.hidden_size
+                    e, l = model._prepare(
+                        params,
+                        expr if model.takes_expression else None,
+                        latent if model.takes_latent else None,
+                        None,
+                    )
+                    v0 = params["layer1.bias"]
+                    segs = model._cond_segments_layer1(e, l)
+                    if segs:
+                        v0 = v0 + cond_contribution(
+                            params, "layer1", segs, model.dim_xyz
+                        )
+                    dd = pe_dir.shape[-1]
+                    dir_contrib = linear_cols(
+                        params, "layers_dir.0", pe_dir, h, h + dd
+                    )
+                    return fused_flex_mlp(
+                        params, ro, rd, z_vals, dir_contrib, v0[None, :],
+                        n_hidden=model.num_layers - 1,
+                        hidden_size=h,
+                        num_encoding_fn_xyz=encode_xyz.num_encoding_functions,
+                        log_sampling_xyz=encode_xyz.log_sampling,
+                        rays_per_tile=tr,
+                    )
     pts = ro[..., None, :] + rd[..., None, :] * z_vals[..., :, None]
     pe_xyz = encode_xyz(pts)
     return model.apply(

@@ -419,3 +419,148 @@ class TestSmallerVariant:
         np.testing.assert_allclose(
             np.asarray(out["weights"]), np.asarray(weights), atol=2e-2
         )
+
+
+class TestFlexFamilyKernel:
+    """FlexibleNeRFModel-family fused kernel (ops/pallas/fused_flex.py):
+    skip-free trunk at the reference's universal hyperparameters
+    (num_layers=4, hidden 256, skip_connect_every=3)."""
+
+    @pytest.fixture(scope="class", params=[
+        "ConditionalBlendshapeLearnableCodeNeRFModel",
+        "ConditionalBlendshapeNeRFModel",
+        "FlexibleNeRFModel",
+    ])
+    def fsetup(self, request):
+        model = MODELS[request.param](
+            num_layers=4, hidden_size=256, skip_connect_every=3,
+            num_encoding_fn_xyz=10, num_encoding_fn_dir=4,
+        )
+        params = model.init(jax.random.PRNGKey(2))
+        R, S = 8, 16
+        rng = np.random.RandomState(2)
+        ro = jnp.asarray(rng.randn(R, 3).astype(np.float32) * 0.1)
+        rd = jnp.asarray(rng.randn(R, 3).astype(np.float32))
+        z = jnp.asarray(np.cumsum(rng.rand(R, S).astype(np.float32) * 0.05, -1))
+        dirs = jnp.asarray(rng.randn(R, 3).astype(np.float32))
+        pe_dir = positional_encoding(dirs, 4, False, True)
+        expr = jnp.asarray(rng.randn(76).astype(np.float32) * 0.1)
+        latent = jnp.asarray(rng.randn(32).astype(np.float32) * 0.1)
+        return model, params, (ro, rd, z), pe_dir, expr, latent
+
+    def _fused(self, model, params, rays, pe_dir, expr, latent, tr=4):
+        from nerface_tpu.models.mlp import cond_contribution
+        from nerface_tpu.ops.pallas.fused_flex import (
+            flex_fused_eligible,
+            fused_flex_mlp,
+        )
+        from nerface_tpu.render.pipeline import EncodeSpec
+
+        assert flex_fused_eligible(model, EncodeSpec(10, True, True), pe_dir)
+        e = expr if model.takes_expression else None
+        l = latent if model.takes_latent else None
+        e, l = model._prepare(params, e, l, None)
+        v0 = params["layer1.bias"]
+        segs = model._cond_segments_layer1(e, l)
+        if segs:
+            v0 = v0 + cond_contribution(params, "layer1", segs, model.dim_xyz)
+        dd = pe_dir.shape[-1]
+        h = model.hidden_size
+        dir_contrib = linear_cols(params, "layers_dir.0", pe_dir, h, h + dd)
+        ro, rd, z = rays
+        return fused_flex_mlp(
+            params, ro, rd, z, dir_contrib, v0[None, :],
+            n_hidden=model.num_layers - 1, hidden_size=h,
+            num_encoding_fn_xyz=10, rays_per_tile=tr,
+        )
+
+    def test_forward_matches_apply(self, fsetup):
+        model, params, rays, pe_dir, expr, latent = fsetup
+        pe = positional_encoding(_pts(rays), 10, True, True)
+        ref = model.apply(
+            params, pe, pe_dir,
+            expr if model.takes_expression else None,
+            latent if model.takes_latent else None,
+        )
+        out = self._fused(model, params, rays, pe_dir, expr, latent)
+        assert out.shape == ref.shape == (8, 16, 4)
+        scale = float(jnp.abs(ref).max())
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=0.01 * scale
+        )
+
+    def test_grads_match_apply(self, fsetup):
+        model, params, rays, pe_dir, expr, latent = fsetup
+        pe = positional_encoding(_pts(rays), 10, True, True)
+
+        def loss_fused(params):
+            return jnp.sum(
+                self._fused(model, params, rays, pe_dir, expr, latent) ** 2
+            )
+
+        def loss_ref(params):
+            return jnp.sum(
+                model.apply(
+                    params, pe, pe_dir,
+                    expr if model.takes_expression else None,
+                    latent if model.takes_latent else None,
+                    dtype=jnp.bfloat16,
+                ) ** 2
+            )
+
+        g1 = jax.grad(loss_fused)(params)
+        g2 = jax.grad(loss_ref)(params)
+        for k in g2:
+            a, b = np.asarray(g1[k]), np.asarray(g2[k])
+            assert a.shape == b.shape, k
+            rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-8)
+            assert rel < 0.05, (k, rel)
+
+    def test_pipeline_dispatches_flex_kernel(self, monkeypatch):
+        """render_rays routes an eligible flex model through the kernel."""
+        import nerface_tpu.ops.pallas.fused_flex as ff
+        from nerface_tpu.ops.pallas import fused_mlp as fm
+        from nerface_tpu.render.pipeline import (
+            EncodeSpec,
+            RenderSettings,
+            render_rays,
+        )
+
+        # kernels gate on a TPU backend; force availability (interpret mode)
+        monkeypatch.setattr(
+            fm, "fused_paper_mlp_available", lambda n, tr: n % tr == 0
+        )
+
+        model = MODELS["ConditionalBlendshapeLearnableCodeNeRFModel"](
+            num_layers=4, hidden_size=256, skip_connect_every=3,
+            num_encoding_fn_xyz=10, num_encoding_fn_dir=4,
+        )
+        params = model.init(jax.random.PRNGKey(3))
+        calls = []
+        real = ff.fused_flex_mlp
+
+        def spy(*a, **k):
+            calls.append(1)
+            return real(*a, **k)
+
+        monkeypatch.setattr(ff, "fused_flex_mlp", spy)
+        rng = np.random.RandomState(3)
+        R = 8
+        rd = rng.randn(R, 3).astype(np.float32)
+        rd[:, 2] = -np.abs(rd[:, 2]) - 0.5
+        settings = RenderSettings(
+            num_coarse=8, num_fine=8, perturb=False,
+            radiance_field_noise_std=0.0, near=0.2, far=0.8,
+            encode_xyz=EncodeSpec(10, True, True),
+            encode_dir=EncodeSpec(4, False, True),
+            fused="on",
+        )
+        out = render_rays(
+            model, model, params, params,
+            jnp.zeros((R, 3)), jnp.asarray(rd), settings,
+            key=jax.random.PRNGKey(0),
+            expressions=jnp.asarray(rng.randn(76).astype(np.float32)),
+            latent_code=jnp.zeros((32,)),
+        )
+        assert calls, "flex kernel was not dispatched"
+        assert np.isfinite(np.asarray(out["rgb_fine"])).all()
