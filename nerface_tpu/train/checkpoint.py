@@ -330,10 +330,14 @@ def export_torch_optimizer_state(
             "exp_avg": np.asarray(mu),
             "exp_avg_sq": np.asarray(nu),
         }
-    group1 = list(range(len(names) - (1 if state.params.get("background") is not None else 0)))
-    groups = [{"params": group1}]
-    if state.params.get("background") is not None:
-        groups.append({"params": [len(names) - 1]})
+    # The reference's optimizer ALWAYS has two param groups — the second
+    # holds the background tensor even when it isn't trained ("obsolete
+    # but need for continuing training", `train_transformed_rays.py:
+    # 189-200`) — and torch's load_state_dict requires matching group
+    # sizes on resume. Emit that layout unconditionally: group 2 is the
+    # background slot (with moments only when it was actually trained).
+    n_main = len(names) - (1 if state.params.get("background") is not None else 0)
+    groups = [{"params": list(range(n_main))}, {"params": [n_main]}]
     return {"state": entries, "param_groups": groups}
 
 
