@@ -94,6 +94,8 @@ def main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        # the reference records no throughput; denominator is an estimate
+        "baseline": "10k rays/s, ESTIMATED PyTorch-1-GPU (reference logs none)",
     }))
 
 

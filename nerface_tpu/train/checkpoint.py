@@ -193,6 +193,7 @@ def export_torch_checkpoint(
     loss: float = 0.0,
     psnr: float = 0.0,
     key_order=None,
+    lr: float = 5.0e-4,
 ):
     """Write a reference-schema `.ckpt` consumable by the reference's eval
     AND train-resume scripts (`eval_transformed_rays.py:301-330`,
@@ -211,7 +212,7 @@ def export_torch_checkpoint(
     if background is None:
         background = state.fixed_background
     try:
-        opt_sd = export_torch_optimizer_state(state, key_order=key_order)
+        opt_sd = export_torch_optimizer_state(state, key_order=key_order, lr=lr)
         opt_sd["state"] = {
             idx: {
                 "step": ent["step"],
@@ -310,11 +311,19 @@ def _set_entry(tree, scope, key, value):
 
 
 def export_torch_optimizer_state(
-    state: TrainState, key_order=None
+    state: TrainState, key_order=None, lr: float = 5.0e-4
 ) -> Dict[str, Any]:
     """optax Adam moments -> torch.optim.Adam state_dict layout
     ({'state': {idx: {step, exp_avg, exp_avg_sq}}, 'param_groups': [...]}),
-    indices following the reference's param registration order."""
+    indices following the reference's param registration order.
+
+    `lr` should be the schedule-CURRENT learning rate: the reference
+    updates `param_group["lr"]` in place after every step and saves the
+    whole group (`train_transformed_rays.py:393-400`), and on resume
+    torch's `Optimizer.load_state_dict` replaces ALL group
+    hyperparameters with the saved ones — so the groups we emit must
+    carry the full Adam hyperparameter set, not just the param indices,
+    or the resumed `optimizer.step()` dies on a missing 'betas'."""
     adam = _find_adam_state(state.opt_state)
     names = _ordered_param_names(state.params, key_order)
     step = int(np.asarray(adam.count))
@@ -336,8 +345,31 @@ def export_torch_optimizer_state(
     # 189-200`) — and torch's load_state_dict requires matching group
     # sizes on resume. Emit that layout unconditionally: group 2 is the
     # background slot (with moments only when it was actually trained).
+    # Hyperparameters come from a live torch.optim.Adam so the key set is
+    # exact for the installed torch version (both reference groups use
+    # the same lr; see the construction cited above).
+    try:
+        import torch
+
+        template = {
+            k: v
+            for k, v in torch.optim.Adam(
+                [torch.nn.Parameter(torch.zeros(1))], lr=lr
+            ).param_groups[0].items()
+            if k != "params"
+        }
+    except ImportError:  # numpy-only fallback (torch 2.x Adam defaults)
+        template = {
+            "lr": lr, "betas": (0.9, 0.999), "eps": 1e-8,
+            "weight_decay": 0, "amsgrad": False, "maximize": False,
+            "foreach": None, "capturable": False, "differentiable": False,
+            "fused": None,
+        }
     n_main = len(names) - (1 if state.params.get("background") is not None else 0)
-    groups = [{"params": list(range(n_main))}, {"params": [n_main]}]
+    groups = [
+        dict(template, params=list(range(n_main))),
+        dict(template, params=[n_main]),
+    ]
     return {"state": entries, "param_groups": groups}
 
 

@@ -301,12 +301,15 @@ def train(
                     logdir, state, {k: float(v) for k, v in metrics.items()}
                 )
                 if export_torch:
+                    from nerface_tpu.train.schedule import from_cfg as _sched
+
                     ckpt_lib.export_torch_checkpoint(
                         os.path.join(logdir, f"checkpoint{int(state.step):05d}.ckpt"),
                         state,
                         loss=float(metrics.get("total_loss", 0.0)),
                         psnr=float(metrics.get("psnr", 0.0)),
                         key_order=canonical_order,
+                        lr=float(_sched(cfg)(int(state.step))),
                     )
     finally:
         feed.stop()

@@ -126,6 +126,58 @@ class TestExportImportRoundtrip:
         assert int(restored.step) == int(stepped_state.step)
 
 
+class TestTorchResumesFromExport:
+    def test_real_torch_adam_steps_after_load(self, stepped_state):
+        """A torch.optim.Adam constructed the way the reference constructs
+        it (two param groups, group 2 = background,
+        `train_transformed_rays.py:187-198`) must load our exported
+        optimizer state and STEP: torch's load_state_dict replaces every
+        group hyperparameter with the saved ones, so the export has to
+        carry the full Adam hyperparameter set — a params-only group dies
+        with KeyError('betas') inside the resumed optimizer.step()."""
+        sd = ckpt_lib.export_torch_optimizer_state(stepped_state, lr=3e-4)
+        names = ckpt_lib._ordered_param_names(stepped_state.params)
+        tensors = [
+            torch.nn.Parameter(
+                torch.from_numpy(
+                    np.asarray(ckpt_lib._get_entry(
+                        stepped_state.params, scope, key)).copy()
+                )
+            )
+            for scope, key in names
+        ]
+        if stepped_state.params.get("background") is not None:
+            main, bg = tensors[:-1], tensors[-1:]
+        else:  # untrained background: registered in group 2 regardless
+            main = tensors
+            bg = [torch.from_numpy(
+                np.asarray(stepped_state.fixed_background).copy())]
+            bg[0].requires_grad = False
+        opt = torch.optim.Adam(
+            [{"params": main}, {"params": bg, "lr": 5e-3}], lr=5e-3
+        )
+        sd_t = {
+            "state": {
+                i: {
+                    "step": ent["step"],
+                    "exp_avg": torch.from_numpy(ent["exp_avg"].copy()),
+                    "exp_avg_sq": torch.from_numpy(ent["exp_avg_sq"].copy()),
+                }
+                for i, ent in sd["state"].items()
+            },
+            "param_groups": sd["param_groups"],
+        }
+        opt.load_state_dict(sd_t)
+        assert opt.param_groups[0]["lr"] == pytest.approx(3e-4)
+        before = [t.detach().clone() for t in main]
+        for t in main:
+            t.grad = torch.ones_like(t)
+        opt.step()  # would KeyError on a hyperparameter-less group
+        assert all(
+            not torch.equal(t.detach(), b) for t, b in zip(main, before)
+        )
+
+
 class TestFromRealTorchAdam:
     def test_import_real_torch_adam_moments(self):
         """Moments produced by an actual torch.optim.Adam import correctly

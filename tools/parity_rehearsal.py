@@ -45,12 +45,24 @@ def _stub_modules():
     import numpy as np
 
     for name in ("pytorch3d", "pytorch3d.transforms", "torchsearchsorted",
-                 "torchvision", "cv2"):
+                 "torchvision", "torchvision.transforms", "cv2"):
         if name not in sys.modules:
             sys.modules[name] = types.ModuleType(name)
     if not hasattr(sys.modules["cv2"], "resize"):
         sys.modules["cv2"].resize = lambda img, dsize, **k: img
         sys.modules["cv2"].INTER_AREA = 3
+
+    class _ToPILImage:  # cast_to_image (train_transformed_rays.py:581-585)
+        def __call__(self, tensor):
+            arr = tensor.detach().cpu().numpy()
+            if arr.ndim == 3:  # (C, H, W) -> (H, W, C)
+                arr = np.moveaxis(arr, 0, -1)
+            return (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
+
+    sys.modules["torchvision.transforms"].ToPILImage = _ToPILImage
+    sys.modules["torchvision"].transforms = sys.modules[
+        "torchvision.transforms"
+    ]
 
 
 def _write_config(path, basedir, logdir, iters, rays, samples):
