@@ -22,6 +22,18 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--sampling", type=str, default="LATTICE",
                         help="LATTICE | RANDOM | CURVE | SPIRAL | HELIX | ARC")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--mesh", type=str, default=None,
+        help="Render THIS mesh file (.off/.ply) with the software "
+        "rasterizer instead of the analytic blob — the "
+        "rendering/pyrender_data.py equivalent (see tools/mesh_dataset.py). "
+        "Uses --n-train+--n-val+--n-test views split 60/20/20 like the "
+        "reference; --sampling HELIX switches the test split to the smooth "
+        "fly-around.",
+    )
+    parser.add_argument("--focal", type=float, default=300.0,
+                        help="--mesh mode: focal length in pixels "
+                        "(pyrender_data.py:90).")
     return parser
 
 
@@ -37,6 +49,21 @@ def main(argv=None) -> None:
     from nerface_tpu.data.synthetic import _checkerboard, render_blob_frame
     from nerface_tpu.tools.dataset_builder import look_at
     from nerface_tpu.tools.spherical_sampler import SphericalSampler
+
+    if args.mesh:
+        from nerface_tpu.tools.mesh_dataset import generate_mesh_dataset
+
+        counts = generate_mesh_dataset(
+            args.mesh, args.target,
+            n_views=args.n_train + args.n_val + args.n_test,
+            im_size=args.size, focal=args.focal, seed=args.seed,
+            test_sequence=(
+                args.sampling if args.sampling in ("HELIX", "SPIRAL", "ARC")
+                else None
+            ),
+        )
+        print(f"mesh dataset written to {args.target}: {counts}")
+        return
 
     H = W = args.size
     rng = np.random.RandomState(args.seed)

@@ -87,10 +87,42 @@ def rasterize_mesh(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Z-buffered rasterization. Returns (depth (H, W) f32 with +inf on
     background, mask (H, W) bool)."""
+    depth, mask, _ = rasterize_mesh_ids(
+        vertices, faces, pose, intrinsics, H, W, scale, mesh_unit_scale,
+        near, window, chunk,
+    )
+    return depth, mask
+
+
+def rasterize_mesh_ids(
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    pose: np.ndarray,
+    intrinsics: np.ndarray,
+    H: int = 512,
+    W: int = 512,
+    scale: float = 1.0,
+    mesh_unit_scale: float = 1e-6,
+    near: float = 0.01,
+    window: int = 8,
+    chunk: int = 16384,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Z-buffered rasterization that also resolves WHICH triangle owns
+    each pixel. Returns (depth (H, W) f32 +inf on background, mask (H, W)
+    bool, face_id (H, W) i64 with -1 on background).
+
+    One scatter-min resolves depth and owner together: positive-f32
+    depth bits are order-preserving as uint32, so the 64-bit key
+    (depth_bits << 32) | face_index min-reduces to the nearest triangle
+    (ties broken toward the lower face index, deterministically). The
+    face ids feed Gouraud shading in `tools/mesh_dataset.py` — the
+    pyrender_data.py offscreen-render replacement."""
     u, v, z = project_vertices(vertices, pose, intrinsics, scale, mesh_unit_scale)
-    depth = np.full((H + 1) * (W + 1), np.inf, np.float32)  # +1: clip slab
+    sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
+    buf = np.full((H + 1) * (W + 1), sentinel, np.uint64)  # +1: clip slab
 
     tri_ok = (z[faces] > near).all(axis=1)
+    fid_all = np.flatnonzero(tri_ok).astype(np.uint64)
     faces = faces[tri_ok]
 
     ux, vx, zx = u[faces], v[faces], z[faces]  # (F, 3)
@@ -102,9 +134,9 @@ def rasterize_mesh(
     wide = (x1 - x0 >= window) | (y1 - y0 >= window)
     onscreen = (x1 >= x0) & (y1 >= y0)
 
-    def fill(ux, vx, zx, px, py, inside_extra=None):
+    def fill(ux, vx, zx, fid, px, py, inside_extra=None):
         """Edge-function coverage + barycentric depth at pixel centers
-        (px, py); scatter-min into the z-buffer."""
+        (px, py); scatter-min of (depth_bits << 32 | face_id) keys."""
         e01 = (ux[:, 1] - ux[:, 0])[:, None] * (py - vx[:, 0][:, None]) - (
             vx[:, 1] - vx[:, 0]
         )[:, None] * (px - ux[:, 0][:, None])
@@ -134,10 +166,14 @@ def rasterize_mesh(
         )
         ids = (py.astype(np.int64) * (W + 1) + px.astype(np.int64))
         ids = np.where(inside, ids, H * (W + 1) + W)  # clip slab cell
-        np.minimum.at(
-            depth, ids.ravel(),
-            np.where(inside, zpix, np.inf).astype(np.float32).ravel(),
+        zbits = (
+            np.where(inside, zpix, np.inf)
+            .astype(np.float32)
+            .view(np.uint32)
+            .astype(np.uint64)
         )
+        key = (zbits << np.uint64(32)) | fid[:, None]
+        np.minimum.at(buf, ids.ravel(), key.ravel())
 
     # vectorized path: KxK local windows
     small = onscreen & ~wide
@@ -148,8 +184,8 @@ def rasterize_mesh(
         px = x0[idx][:, None] + dx.ravel()[None, :]
         py = y0[idx][:, None] + dy.ravel()[None, :]
         ok = (px <= x1[idx][:, None]) & (py <= y1[idx][:, None])
-        fill(ux[idx], vx[idx], zx[idx], px.astype(np.float64),
-             py.astype(np.float64), ok)
+        fill(ux[idx], vx[idx], zx[idx], fid_all[idx],
+             px.astype(np.float64), py.astype(np.float64), ok)
 
     # fallback: big triangles, one at a time
     for idx in np.flatnonzero(onscreen & wide):
@@ -159,11 +195,16 @@ def rasterize_mesh(
         )
         fill(
             ux[idx:idx + 1], vx[idx:idx + 1], zx[idx:idx + 1],
+            fid_all[idx:idx + 1],
             gx.ravel()[None, :], gy.ravel()[None, :],
         )
 
-    depth = depth.reshape(H + 1, W + 1)[:H, :W]
-    return depth, np.isfinite(depth)
+    buf = buf.reshape(H + 1, W + 1)[:H, :W]
+    depth = (buf >> np.uint64(32)).astype(np.uint32).view(np.float32)
+    mask = np.isfinite(depth)  # untouched cells unpack to NaN (sentinel)
+    depth = np.where(mask, depth, np.float32(np.inf))  # contract: +inf bg
+    face_id = np.where(mask, (buf & np.uint64(0xFFFFFFFF)).astype(np.int64), -1)
+    return depth, mask, face_id
 
 
 def render_mask_image(
