@@ -126,12 +126,15 @@ def _trunk_forward(x3, enc, dir_c, cond0, cond3, W, n_rays, n_samples):
     rgb = _dot(x2, W["wrgb"]) + W["brgb"]
     # Activations saved for backward in bf16: they are only consumed as
     # bf16 dot operands and (> 0) relu masks, and it halves VMEM pressure.
+    # x0 = relu(hd_pre) is NOT saved — the backward recomputes it from
+    # hd_pre with one VPU max, which buys a full (TILE, 128) slot of VMEM
+    # toward bigger ray tiles.
     bf = jnp.bfloat16
     acts = dict(
         h0=h0.astype(bf), h1=h1.astype(bf), h2=h2.astype(bf),
         h3=h3.astype(bf), h4=h4.astype(bf), h5=h5.astype(bf),
         feat=feat.astype(bf), hd_pre=hd_pre.astype(bf),
-        x0=x0.astype(bf), x1=x1.astype(bf), x2=x2.astype(bf),
+        x1=x1.astype(bf), x2=x2.astype(bf),
     )
     return rgb, alpha, acts
 
@@ -215,7 +218,9 @@ def _trunk_backward(x3, enc, a, W, g_rgb, g_alpha, n_rays, n_samples):
     grads_w["wd2"] = dot_t_acc(a["x1"], gx2)
     grads_b["bd2"] = jnp.sum(gx2, axis=0, keepdims=True)
     gx1 = dot_bt(gx2, W["wd2"]) * m(a["x1"])
-    grads_w["wd1"] = dot_t_acc(a["x0"], gx1)
+    # x0 = relu(hd_pre), recomputed (bf16 max) instead of stored
+    x0 = jnp.maximum(a["hd_pre"], jnp.zeros((), a["hd_pre"].dtype))
+    grads_w["wd1"] = dot_t_acc(x0, gx1)
     grads_b["bd1"] = jnp.sum(gx1, axis=0, keepdims=True)
     gx0 = dot_bt(gx1, W["wd1"]) * m(a["hd_pre"])
     grads_w["wd0"] = dot_t_acc(a["feat"], gx0)
@@ -757,7 +762,7 @@ def fused_paper_render(
 
 # -- fused hierarchical resample: inverse-CDF draw + sorted merge ------------
 
-def _resample_kernel(n_coarse, n_fine, *refs):
+def _resample_kernel(n_coarse, n_fine, sorted_u, *refs):
     """Per ray tile: CDF from coarse weights, inverse-CDF draw at the given
     u's, and the sorted union with the coarse depths — no HBM one-hots, no
     general sort. Matches ops/sampling.sample_pdf + merge_sorted_zvals
@@ -765,13 +770,19 @@ def _resample_kernel(n_coarse, n_fine, *refs):
 
     Techniques (Mosaic has no scan/sort/gather): cumsum as a triangular
     matmul; searchsorted as compare+sum; gathers on the monotone cdf/bins
-    via masked max/min; the merge via counting ranks (rank_i = #{v_j < v_i}
-    + #{v_j == v_i, j < i}) and a masked-sum scatter."""
+    via masked max/min. The merge: with `sorted_u` (the det/validation
+    path — u is a linspace, so the inverse-CDF samples come out sorted)
+    both lists are sorted and ranks are two one-sided counts
+    (rank_zi = i + #{s < z_i}, rank_sq = q + #{z <= s_q}); otherwise the
+    general counting rank (rank_i = #{v_j < v_i} + ties with j < i).
+    Either way the placement is a masked-sum scatter."""
     z_ref, w_ref, u_ref, tri_ref = refs[:4]
     out_ref = refs[4]
 
     z = z_ref[:]                       # (tr, Sc)
-    u = u_ref[:]                       # (tr, Sf)
+    u = u_ref[:]                       # (tr, Sf) or (1, Sf) det broadcast
+    if u.shape[0] == 1:
+        u = jnp.broadcast_to(u, (z.shape[0], u.shape[-1]))
     w = w_ref[:][:, 1:-1] + 1e-5       # (tr, Sc-2) — sample_pdf's weights[1:-1]
     pdf = w / jnp.sum(w, axis=-1, keepdims=True)
     # cdf = [0, cumsum(pdf)] as pdf @ U with U[j, i] = 1 if j < i.
@@ -807,49 +818,84 @@ def _resample_kernel(n_coarse, n_fine, *refs):
     t = (u - cdf_below) / denom
     z_samples = bins_below + t * (bins_above - bins_below)  # (tr, Sf)
 
-    # sorted union of z (sorted) and z_samples
-    v = jnp.concatenate([z, z_samples], axis=-1)            # (tr, S)
-    less = (v[:, None, :] < v[:, :, None]).astype(jnp.float32)   # v_j < v_i
-    eq = (v[:, None, :] == v[:, :, None]).astype(jnp.float32)
-    s_total = v.shape[-1]
-    jj = jax.lax.broadcasted_iota(jnp.int32, (s_total, s_total), 1)
-    ii = jax.lax.broadcasted_iota(jnp.int32, (s_total, s_total), 0)
-    tie = (jj < ii).astype(jnp.float32)                     # j < i
-    rank = jnp.sum(less + eq * tie[None], axis=-1).astype(jnp.int32)
+    s_total = n_coarse + n_fine
     kk = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s_total), 2)
-    sel = (rank[:, :, None] == kk).astype(jnp.float32)      # (tr, S_i, S_k)
-    out_ref[:] = jnp.sum(sel * v[:, :, None], axis=1)
+    if sorted_u:
+        # both lists sorted: one-sided counts, z wins ties (< vs <=) so
+        # ranks are a permutation; scatter each list at its rank.
+        n_lt = jnp.sum(
+            (z_samples[:, None, :] < z[:, :, None]).astype(jnp.float32),
+            axis=-1,
+        ).astype(jnp.int32)                                 # (tr, Sc)
+        rank_z = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1) + n_lt
+        n_le = jnp.sum(
+            (z[:, None, :] <= z_samples[:, :, None]).astype(jnp.float32),
+            axis=-1,
+        ).astype(jnp.int32)                                 # (tr, Sf)
+        rank_s = (
+            jax.lax.broadcasted_iota(jnp.int32, z_samples.shape, 1) + n_le
+        )
+        sel_z = (rank_z[:, :, None] == kk).astype(jnp.float32)
+        sel_s = (rank_s[:, :, None] == kk).astype(jnp.float32)
+        out_ref[:] = jnp.sum(sel_z * z[:, :, None], axis=1) + jnp.sum(
+            sel_s * z_samples[:, :, None], axis=1
+        )
+    else:
+        # sorted union of z (sorted) and z_samples (unsorted)
+        v = jnp.concatenate([z, z_samples], axis=-1)        # (tr, S)
+        less = (v[:, None, :] < v[:, :, None]).astype(jnp.float32)
+        eq = (v[:, None, :] == v[:, :, None]).astype(jnp.float32)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (s_total, s_total), 1)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (s_total, s_total), 0)
+        tie = (jj < ii).astype(jnp.float32)                 # j < i
+        rank = jnp.sum(less + eq * tie[None], axis=-1).astype(jnp.int32)
+        sel = (rank[:, :, None] == kk).astype(jnp.float32)  # (tr, S_i, S_k)
+        out_ref[:] = jnp.sum(sel * v[:, :, None], axis=1)
 
 
 def fused_resample(
     z_vals: jnp.ndarray,     # (R, Sc) coarse depths (sorted)
     weights: jnp.ndarray,    # (R, Sc) coarse compositing weights
-    u: jnp.ndarray,          # (R, Sf) inverse-CDF draws in [0, 1]
+    u: jnp.ndarray,          # (R, Sf) draws in [0, 1], or (Sf,) shared
+    sorted_u: bool = False,  # True when u is nondecreasing per ray (det)
 ) -> jnp.ndarray:
     """Hierarchical resample + sorted merge in one kernel; returns
     (R, Sc+Sf) depths. Gradient-stopped like the reference (detached
     samples, `train_utils.py:124`) — forward-only.
 
-    Status: parity-exact vs sample_pdf+merge (4e-6 on chip) but measured
-    SLOWER than the XLA path at S=128 (the O(S²) counting-rank merge loses
-    to XLA's sort network), so it is not wired into the pipeline. It wins
-    only where S grows or where the (R, Q, B) one-hot HBM traffic of the
-    XLA path dominates — kept for that regime."""
+    Two regimes:
+    * `sorted_u=True` — the det path (validation/eval: u is a linspace,
+      passed once as (Sf,) and broadcast in-kernel, costing no HBM).
+      Samples come out sorted, so the merge is two one-sided rank counts
+      + scatter. This is the wired production eval path.
+    * `sorted_u=False` — general draws; the O(S²) counting-rank merge.
+      Parity-exact vs sample_pdf+merge (4e-6 on chip) but measured SLOWER
+      than the XLA path at S=128, so the random-u path stays on XLA."""
     n_rays, n_coarse = z_vals.shape
     n_fine = u.shape[-1]
-    tr = _pick_rays_per_tile(n_rays, n_coarse + n_fine, target=4096)
+    # (tr, Sf, Sc) broadcast compares + (tr, ·, Sc+Sf) scatter one-hots
+    # live simultaneously: tr=16 at 64+64 stays within the 16M VMEM scope.
+    tr = _pick_rays_per_tile(n_rays, n_coarse + n_fine, target=2048)
     # U[j, i] = 1 if j < i over (Sc-2, Sc-1): cumsum with a leading zero
     tri = jnp.triu(
         jnp.ones((n_coarse - 2, n_coarse - 1), jnp.float32), k=1
     )
     grid = (n_rays // tr,)
+    if u.ndim == 1:  # shared det draws: one (1, Sf) block for every tile
+        u2 = u[None, :]
+        u_spec = _const_spec((1, n_fine))
+    else:
+        u2 = u
+        u_spec = pl.BlockSpec(
+            (tr, n_fine), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
     out = pl.pallas_call(
-        functools.partial(_resample_kernel, n_coarse, n_fine),
+        functools.partial(_resample_kernel, n_coarse, n_fine, sorted_u),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tr, n_coarse), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tr, n_coarse), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, n_fine), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            u_spec,
             _const_spec((n_coarse - 2, n_coarse - 1)),
         ],
         out_specs=pl.BlockSpec(
@@ -857,5 +903,5 @@ def fused_resample(
         ),
         out_shape=jax.ShapeDtypeStruct((n_rays, n_coarse + n_fine), jnp.float32),
         interpret=_interpret(),
-    )(z_vals, weights, u, tri)
+    )(z_vals, weights, u2, tri)
     return jax.lax.stop_gradient(out)

@@ -311,6 +311,36 @@ class TestFusedResample:
         out = fused_resample(z, w, u)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
+    def test_sorted_u_rank_merge(self):
+        """det fast path: shared (Sf,) linspace u + one-sided rank merge
+        must equal the general counting merge AND the XLA reference."""
+        from nerface_tpu.ops.pallas.fused_mlp import fused_resample
+        from nerface_tpu.ops.sampling import merge_sorted_zvals, sample_pdf
+
+        R, Sc, Sf = 16, 64, 64
+        rng = np.random.RandomState(2)
+        z = jnp.asarray(
+            np.cumsum(rng.rand(R, Sc).astype(np.float32) * 0.01 + 0.002, -1)
+        )
+        w = jnp.asarray(rng.rand(R, Sc).astype(np.float32))
+        u1 = jnp.linspace(0.0, 1.0, Sf, dtype=jnp.float32)  # (Sf,) shared
+        zs = sample_pdf(None, 0.5 * (z[:, 1:] + z[:, :-1]), w[:, 1:-1], Sf,
+                        det=True)
+        ref = merge_sorted_zvals(z, zs)
+        out = fused_resample(z, w, u1, sorted_u=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+        assert (np.diff(np.asarray(out), axis=-1) >= 0).all()
+        # ties between coarse z and drawn samples keep a full permutation
+        # of ranks: duplicate a weight spike so samples collide with bins
+        w_spike = w.at[:, 7].set(1e3)
+        zs2 = sample_pdf(None, 0.5 * (z[:, 1:] + z[:, :-1]),
+                         w_spike[:, 1:-1], Sf, det=True)
+        ref2 = merge_sorted_zvals(z, zs2)
+        out2 = fused_resample(z, w_spike, u1, sorted_u=True)
+        np.testing.assert_allclose(
+            np.asarray(out2), np.asarray(ref2), atol=1e-5
+        )
+
 
 class TestSmallerVariant:
     """ConditionalBlendshapePaperSmallerNeRFModel through the same kernel
