@@ -65,7 +65,8 @@ def _stub_modules():
     ]
 
 
-def _write_config(path, basedir, logdir, iters, rays, samples):
+def _write_config(path, basedir, logdir, iters, rays, samples,
+                  deterministic=False):
     import yaml
 
     with open(REF_CFG) as f:
@@ -84,6 +85,9 @@ def _write_config(path, basedir, logdir, iters, rays, samples):
     cfg["nerf"]["validation"]["num_coarse"] = samples
     cfg["nerf"]["validation"]["num_fine"] = samples
     cfg["nerf"]["validation"]["chunksize"] = 2048
+    if deterministic:  # isolate the stochastic elements (A/B diagnosis)
+        cfg["nerf"]["train"]["perturb"] = False
+        cfg["nerf"]["train"]["radiance_field_noise_std"] = 0.0
     with open(path, "w") as f:
         yaml.dump(cfg, f)
     return cfg
@@ -157,7 +161,9 @@ def run_ours(cfg_path, init_ckpt):
 
 
 def render_psnr(cfg, params, val_dir):
-    """Render the first val frame with this repo's f32 renderer; PSNR vs GT."""
+    """Render every val frame with this repo's f32 renderer; mean PSNR vs
+    GT (a single 64² frame's PSNR swings by >1 dB between adjacent late
+    checkpoints in this overfit regime — averaging frames tightens it)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -173,9 +179,7 @@ def render_psnr(cfg, params, val_dir):
     )
 
     ds = load_flame_data(cfg["dataset"]["basedir"], half_res=False)
-    i_val = int(ds.i_val[0])
     H, W = ds.H, ds.W
-    gt = ds.images[i_val][..., :3]
     bg = ds.load_background()
     model = MODELS[cfg["models"]["coarse"]["type"]](
         num_encoding_fn_xyz=cfg["models"]["coarse"]["num_encoding_fn_xyz"],
@@ -196,21 +200,25 @@ def render_psnr(cfg, params, val_dir):
         ),
         fused="off",
     )
-    ro, rd = get_ray_bundle(H, W, ds.intrinsics, ds.poses[i_val][:3, :4])
-    out = run_one_iter_of_nerf(
-        H, W, model, model, params["coarse"], params["fine"],
-        jnp.asarray(ro), jnp.asarray(rd), settings,
-        key=jax.random.PRNGKey(0),
-        expressions=jnp.asarray(ds.expressions[i_val]),
-        latent_code=jnp.zeros((32,), jnp.float32),
-        background_prior=(
-            jnp.asarray(bg.reshape(-1, 3)) if bg is not None else None
-        ),
-        mode="validation",
-    )
-    rgb = np.asarray(out[3])
-    mse = float(np.mean((rgb - gt) ** 2))
-    return float(mse2psnr_jnp(jnp.asarray(mse))), rgb
+    psnrs, rgb = [], None
+    for i_val in [int(i) for i in ds.i_val]:
+        gt = ds.images[i_val][..., :3]
+        ro, rd = get_ray_bundle(H, W, ds.intrinsics, ds.poses[i_val][:3, :4])
+        out = run_one_iter_of_nerf(
+            H, W, model, model, params["coarse"], params["fine"],
+            jnp.asarray(ro), jnp.asarray(rd), settings,
+            key=jax.random.PRNGKey(0),
+            expressions=jnp.asarray(ds.expressions[i_val]),
+            latent_code=jnp.zeros((32,), jnp.float32),
+            background_prior=(
+                jnp.asarray(bg.reshape(-1, 3)) if bg is not None else None
+            ),
+            mode="validation",
+        )
+        rgb = np.asarray(out[3])
+        mse = float(np.mean((rgb - gt) ** 2))
+        psnrs.append(float(mse2psnr_jnp(jnp.asarray(mse))))
+    return float(np.mean(psnrs)), rgb
 
 
 def main():
@@ -220,7 +228,17 @@ def main():
     ap.add_argument("--samples", type=int, default=16)
     ap.add_argument("--workdir", type=str, default="/tmp/parity_rehearsal")
     ap.add_argument("--out", type=str, default="PARITY.md")
+    ap.add_argument("--deterministic", action="store_true",
+                    help="perturb off + sigma noise 0 on both sides")
     args = ap.parse_args()
+
+    # Force the CPU backend via jax.config, not the env var: this image's
+    # sitecustomize pre-imports jax against the axon TPU tunnel, so a
+    # plain JAX_PLATFORMS=cpu is too late on some paths and the rehearsal
+    # would silently run (and occasionally hang) on the tunneled device.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
 
@@ -240,13 +258,13 @@ def main():
     os.makedirs(args.workdir, exist_ok=True)
     ds_dir = os.path.join(args.workdir, "ds")
     if not os.path.exists(os.path.join(ds_dir, "transforms_train.json")):
-        make_synthetic_flame_dataset(ds_dir, H=64, W=64, n_train=8, n_val=1,
+        make_synthetic_flame_dataset(ds_dir, H=64, W=64, n_train=8, n_val=4,
                                      n_test=1)
 
     cfg_path = os.path.join(args.workdir, "cfg.yml")
     ref_logdir = os.path.join(args.workdir, "ref_logs")
     cfg = _write_config(cfg_path, ds_dir, ref_logdir, args.iters, args.rays,
-                        args.samples)
+                        args.samples, deterministic=args.deterministic)
 
     # shared initial checkpoint (our init exported to the torch schema)
     jcfg = load_config(cfg_path)
@@ -270,7 +288,7 @@ def main():
     # our run gets its own logdir (the config file is shared)
     our_logdir = os.path.join(args.workdir, "our_logs")
     _write_config(cfg_path, ds_dir, our_logdir, args.iters, args.rays,
-                  args.samples)
+                  args.samples, deterministic=args.deterministic)
     print(f"[rehearsal] nerface-tpu CLI, {args.iters} iters ...")
     our_losses = run_ours(cfg_path, init_ckpt)
     print(f"[rehearsal] parsed {len(our_losses)} of our losses; "
@@ -318,7 +336,7 @@ is independent per side, so trajectories are compared smoothed.
 |---|---|---|
 | first-iter loss | {ref_losses[0]:.4f} | {our_losses[0]:.4f} |
 | final-iter loss (EMA) | {e_ref[-1]:.4f} | {e_our[-1]:.4f} |
-| val-frame PSNR of final checkpoint (our f32 renderer) | {ref_psnr:.2f} dB | {our_psnr:.2f} dB |
+| mean val PSNR (4 frames) of final checkpoint (our f32 renderer) | {ref_psnr:.2f} dB | {our_psnr:.2f} dB |
 
 Mean relative EMA-loss gap over the second half: {rel_tail:.2%}.
 PSNR delta: {abs(our_psnr - ref_psnr):.2f} dB.
