@@ -98,9 +98,9 @@ def load_ply_mesh(path: str) -> Tuple[np.ndarray, np.ndarray]:
                         [data["x"], data["y"], data["z"]], -1
                     ).astype(np.float64)
                 elif name == "face":
-                    (ct, it), _ = props[0][0][1:], None
-                    cdt = np.dtype("<" + np_t[ct])
-                    idt = np.dtype("<" + np_t[it])
+                    _, count_t, index_t = props[0][0]  # ("list", ct, it)
+                    cdt = np.dtype("<" + np_t[count_t])
+                    idt = np.dtype("<" + np_t[index_t])
                     for _ in range(count):
                         k = int(np.frombuffer(f.read(cdt.itemsize), cdt)[0])
                         poly = np.frombuffer(f.read(idt.itemsize * k), idt)
