@@ -171,6 +171,56 @@ class TestTrainStep:
         np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
 
 
+class TestResumeKeepsTrainingAuxParams:
+    def test_latent_codes_still_train_after_torch_resume(self, rng, flagship_pair):
+        """The REFERENCE freezes latent codes (and a trainable background)
+        forever after any checkpoint resume: its resume path rebinds
+        `latent_codes` to a fresh nn.Parameter while the optimizer still
+        holds the original tensor (`train_transformed_rays.py:220-224`) —
+        verified empirically: four 1500-iter resumed reference runs all end
+        with ‖latent_codes‖ == 0 exactly (see PARITY.md). This pins that OUR
+        resume keeps optimizing them."""
+        from nerface_tpu.train import checkpoint as ckpt_lib
+
+        model_c, model_f = flagship_pair
+        cfg, flags = _cfg(), FeatureFlags()
+        state, opt = create_train_state(
+            jax.random.PRNGKey(0), model_c, model_f, cfg, flags, n_train=4,
+            background=jnp.zeros((8, 8, 3)),
+        )
+        step = make_train_step(model_c, model_f, _settings(), flags, opt,
+                               donate=False)
+        batch = _batch(rng)
+        for _ in range(2):
+            state, _ = step(state, batch, jax.random.PRNGKey(1))
+        before = np.asarray(state.params["latent_codes"])
+        assert np.linalg.norm(before) > 0, "codes did not train pre-resume"
+
+        import pytest as _pytest
+
+        torch = _pytest.importorskip("torch")
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "resume.ckpt")
+            ckpt_lib.export_torch_checkpoint(path, state)
+            fresh, _ = create_train_state(
+                jax.random.PRNGKey(7), model_c, model_f, cfg, flags,
+                n_train=4, background=jnp.zeros((8, 8, 3)),
+            )
+            resumed = ckpt_lib.import_torch_weights(
+                fresh, ckpt_lib.load_torch_checkpoint(path)
+            )
+        np.testing.assert_allclose(
+            np.asarray(resumed.params["latent_codes"]), before, atol=1e-6
+        )
+        resumed, _ = step(resumed, batch, jax.random.PRNGKey(2))
+        after = np.asarray(resumed.params["latent_codes"])
+        assert np.abs(after - before).max() > 0, (
+            "latent codes froze across resume (the reference's bug)"
+        )
+
+
 class TestSchedule:
     def test_reference_curve(self):
         # the reference sets the new LR after each step
