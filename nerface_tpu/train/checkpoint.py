@@ -146,7 +146,16 @@ def import_torch_weights(state: TrainState, torch_ckpt: Dict[str, Any]) -> Train
     """Overwrite model weights / background / latent codes from a converted
     reference checkpoint; Adam moments are also imported when the
     checkpoint carries an optimizer_state_dict (the reference loads it on
-    resume, `train_transformed_rays.py:224`)."""
+    resume, `train_transformed_rays.py:224`).
+
+    Deliberate non-reproduction of a reference bug: the reference's resume
+    rebinds `latent_codes`/`background` to FRESH nn.Parameters
+    (`train_transformed_rays.py:218-224`) while its optimizer still holds
+    the originals, so after any resume those tensors never train again
+    (verified: resumed reference runs end with exactly-zero latent norms —
+    PARITY.md). Here the imported values land in the one params tree the
+    optimizer updates, so they keep training
+    (tests/test_train_step.py::TestResumeKeepsTrainingAuxParams)."""
     params = dict(state.params)
     for which in ("coarse", "fine"):
         if torch_ckpt.get(which) is not None and params.get(which) is not None:
