@@ -24,6 +24,7 @@ BASELINE_RAYS_PER_SEC = 10_000.0
 NUM_RAYS = 2048
 WARMUP = 5
 STEPS = 100
+REPEATS = 3  # median of independent slope measurements (tunnel variance)
 
 
 def main():
@@ -76,19 +77,25 @@ def main():
     # silently turns the benchmark into a dispatch-rate measurement.
     float(metrics["total_loss"])
 
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        key, sub = jax.random.split(key)
-        state, metrics = step(state, batch, sub)
-    float(metrics["total_loss"])
-    dt = time.perf_counter() - t0
-
-    rays_per_sec = NUM_RAYS * STEPS / dt
-    print(
-        f"[bench] device={jax.devices()[0].platform} steps={STEPS} "
-        f"dt={dt:.3f}s loss={float(metrics['total_loss']):.5f}",
-        file=sys.stderr,
-    )
+    # Median of REPEATS independent slope measurements: the shared tunnel
+    # has ~2x run-to-run variance, so a single 100-step slope can land a
+    # red artifact on an unchanged repo (BENCH_NOTES.md "De-noising").
+    rates = []
+    for rep in range(REPEATS):
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, batch, sub)
+        float(metrics["total_loss"])  # host-read sync (see NOTE above)
+        dt = time.perf_counter() - t0
+        rates.append(NUM_RAYS * STEPS / dt)
+        print(
+            f"[bench] rep {rep}: device={jax.devices()[0].platform} "
+            f"steps={STEPS} dt={dt:.3f}s rays/s={rates[-1]:,.0f} "
+            f"loss={float(metrics['total_loss']):.5f}",
+            file=sys.stderr,
+        )
+    rays_per_sec = sorted(rates)[len(rates) // 2]
     print(json.dumps({
         "metric": "train_rays_per_sec",
         "value": round(rays_per_sec, 1),

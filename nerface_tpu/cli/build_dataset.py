@@ -40,6 +40,18 @@ def build_parser() -> argparse.ArgumentParser:
                              "requires --mesh)")
     parser.add_argument("--neutral-driving-idx", type=int, default=None)
     parser.add_argument("--neutral-target-idx", type=int, default=None)
+    parser.add_argument("--sequence", type=str, default="open_mouth_xyz",
+                        choices=["presentation", "xyz", "open_mouth",
+                                 "open_mouth_xyz", "teaser"],
+                        help="--mode custom generator; default matches the "
+                             "reference's live branch "
+                             "(real_to_nerf.py:1255)")
+    parser.add_argument("--seq-start", type=int, default=None,
+                        help="first frame of the source's test tail for "
+                             "waypoint sequences (reference hardcodes "
+                             "per-person values, e.g. 5506)")
+    parser.add_argument("--neutral-offset", type=int, default=None,
+                        help="offset of the neutral frame from --seq-start")
     return parser
 
 
@@ -73,7 +85,15 @@ def main(argv=None) -> None:
     elif args.mode == "original":
         generate_original_test_sequence(cfg, args.n_max)
     elif args.mode == "custom":
-        generate_custom_test_sequence(cfg, args.n_max)
+        seq_kwargs = {}
+        if args.sequence != "presentation" and args.sequence != "teaser":
+            if args.seq_start is not None:
+                seq_kwargs["seq_start"] = args.seq_start
+            if args.neutral_offset is not None:
+                seq_kwargs["neutral_offset"] = args.neutral_offset
+        generate_custom_test_sequence(
+            cfg, args.n_max, sequence=args.sequence, **seq_kwargs
+        )
     elif args.mode == "driven":
         generate_driven_test_sequence(cfg, args.n_max)
     print("Done.")

@@ -311,6 +311,159 @@ def driven_sequence(
 
 
 # --------------------------------------------------------------------------
+# Expression-waypoint sequence family (`real_to_nerf.py:604-1138`)
+#
+# The reference hardcodes per-person frame indices and blendshape-component
+# edits (Norman/Dave values); those are arguments here, defaulting to the
+# reference's live values so oracle tests can pin bit-level agreement.
+# --------------------------------------------------------------------------
+
+def interpolate_waypoints(waypoints, steps: int = 15) -> np.ndarray:
+    """Piecewise-linear path through waypoints, `steps` frames per leg
+    (`real_to_nerf.py:683-686`: consecutive np.linspace legs, so each
+    waypoint appears twice at interior leg boundaries)."""
+    w = [np.asarray(p, np.float64) for p in waypoints]
+    return np.concatenate(
+        [np.linspace(w[i], w[i + 1], steps) for i in range(len(w) - 1)],
+        axis=0,
+    )
+
+
+def _mouth_waypoints(
+    expressions: np.ndarray, seq_start: int, neutral_offset: int
+) -> List[np.ndarray]:
+    """The mouth-play expression waypoints shared by both open-mouth
+    variants (`real_to_nerf.py:789-819` == `:939-968`): component edits on
+    a neutral frame — open mouth [68]=0.4, closed [68]=-0.5, smile
+    [14]=0.4 & [68]=0.4 — visited as neutral → open → closed → neutral →
+    smile → closed."""
+    neutral = np.array(expressions[seq_start + neutral_offset], np.float64)
+    open_mouth = neutral.copy()
+    open_mouth[68] = 0.4
+    closed = neutral.copy()
+    closed[68] = -0.5
+    smile = neutral.copy()
+    smile[14] = 0.4
+    smile[68] = 0.4
+    return [neutral, open_mouth, closed, neutral, smile, closed]
+
+
+def waypoint_seq_xyz(
+    rigid_poses: np.ndarray,
+    expressions: np.ndarray,
+    seq_start: int = 5509,
+    neutral_offset: int = 979,
+    smile_offset: int = 460,
+    smile_mix_idx: int = 5450,
+    steps: int = 15,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Expression play at the first source pose (`custom_seq_xyz`,
+    `real_to_nerf.py:604-758`).
+
+    Waypoints: a lowered-jaw neutral ([68] -= 0.3), a smile blended 20/80
+    from two source frames, and an open-mouth edit ([68]=0.5, [12]=0.4),
+    visited n→s→o→s→n→o→s→n with 15-frame legs.  The reference computes a
+    head-angle sweep too but its final line tiles the first (identity-
+    rotation) pose over every frame (:757) — the emitted sequence is
+    expression play at a fixed pose, which is what this returns.
+    """
+    neutral = np.array(expressions[seq_start + neutral_offset], np.float64)
+    neutral[68] -= 0.3
+    smile = (
+        0.2 * expressions[seq_start + smile_offset]
+        + 0.8 * expressions[smile_mix_idx]
+    )
+    open_mouth = neutral.copy()
+    open_mouth[68] = 0.5
+    open_mouth[12] = 0.4
+    expr_out = interpolate_waypoints(
+        [neutral, smile, open_mouth, smile, neutral, open_mouth, smile,
+         neutral],
+        steps,
+    )
+    out_poses = np.tile(rigid_poses[0], (len(expr_out), 1, 1))
+    return expr_out, out_poses
+
+
+def waypoint_seq_open_mouth(
+    rigid_poses: np.ndarray,
+    expressions: np.ndarray,
+    seq_start: int = 5506,
+    neutral_offset: int = 987,
+    steps: int = 15,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Mouth play at the first source pose (`custom_seq_open_mouth`,
+    `real_to_nerf.py:761-898`; its angle legs collapse to the identity
+    start angle — linspace(num=1) — and the poses are tiled from the
+    first, :835,887)."""
+    expr_out = interpolate_waypoints(
+        _mouth_waypoints(expressions, seq_start, neutral_offset), steps
+    )
+    out_poses = np.tile(rigid_poses[0], (len(expr_out), 1, 1))
+    return expr_out, out_poses
+
+
+def waypoint_seq_open_mouth_xyz(
+    rigid_poses: np.ndarray,
+    expressions: np.ndarray,
+    seq_start: int = 5506,
+    neutral_offset: int = 987,
+    base_pose_idx: Optional[int] = None,
+    steps: int = 15,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Head-rotation sweep + mouth play (`custom_seq_open_mouth_xyz`,
+    `real_to_nerf.py:901-1052`) — the branch the reference's live
+    `generate_custom_test_sequence` actually calls (:1255).
+
+    Head angles run 8 waypoints (±40% of the observed x/y extremes,
+    :928-934) with 15-frame legs around the base pose (default: the
+    neutral frame's own pose, :1023).  Reference quirk, reproduced
+    faithfully: `expressions_out` prepends a frozen copy of its first row
+    for every pose (:1040), so it has n_poses + n_expr rows while
+    out_poses has n_poses — and since the JSON writer iterates over POSES
+    (:1258-1265), the written sequence is the head sweep at the frozen
+    first expression; the mouth-play tail is never emitted."""
+    angles = poses_to_head_euler(rigid_poses)
+    x_min, x_max = angles[:, 0].min(), angles[:, 0].max()
+    y_min, y_max = angles[:, 1].min(), angles[:, 1].max()
+    x = [0.0, x_max * 0.4, x_min * 0.4, 0.0, 0.0, 0.0, 0.0, 0.0]
+    y = [0.0, 0.0, 0.0, 0.0, y_max * 0.4, 0.0, y_min * 0.4, 0.0]
+    z = [0.0] * 8
+    out_angles = interpolate_waypoints(np.stack([x, y, z], axis=-1), steps)
+    if base_pose_idx is None:
+        base_pose_idx = seq_start + neutral_offset
+    out_poses = euler_to_camera_poses(out_angles, rigid_poses[base_pose_idx])
+    expr_play = interpolate_waypoints(
+        _mouth_waypoints(expressions, seq_start, neutral_offset), steps
+    )
+    expr_out = np.concatenate(
+        [np.tile(expr_play[0], (len(out_poses), 1)), expr_play], axis=0
+    )
+    return expr_out, out_poses
+
+
+def teaser_sequence(
+    rigid_poses: np.ndarray,
+    expressions: np.ndarray,
+    expression_idxs: Sequence[int] = (
+        979, 979, 979, 5680, 5680, 5450, 5450, 5450, 5680, 5450
+    ),
+    pose_idxs: Sequence[int] = (
+        6308, 5450, 6338, 5644, 6129, 6308, 5450, 6338, 5644, 6129
+    ),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Hand-picked (expression, pose) frame pairs for the paper teaser
+    (`custom_seq_teaser`, `real_to_nerf.py:1055-1138`); index defaults are
+    the reference's Norman values (:1116-1121), expressions truncated to
+    the pose count (:1122,1138).  The reference pops four pyrender debug
+    windows here (:1132-1135); use `write_debug_overlays` /
+    `tools/rasterizer.py` for the GL-free equivalent."""
+    poses = np.asarray(rigid_poses, np.float64)[list(pose_idxs)]
+    expr = np.asarray(expressions, np.float64)[list(expression_idxs)]
+    return expr[: len(poses)], poses
+
+
+# --------------------------------------------------------------------------
 # Head bbox
 # --------------------------------------------------------------------------
 
@@ -614,13 +767,36 @@ def generate_original_test_sequence(
     )
 
 
+#: custom test-sequence generators selectable by name
+#: (`generate_custom_test_sequence`'s commented-out branch menu,
+#: `real_to_nerf.py:1249-1255`; "open_mouth_xyz" is the live branch :1255,
+#: "presentation" the `custom_seq_presentation_v2` variant :427-494).
+CUSTOM_SEQUENCES = {
+    "presentation": euler_waypoint_sequence,
+    "xyz": waypoint_seq_xyz,
+    "open_mouth": waypoint_seq_open_mouth,
+    "open_mouth_xyz": waypoint_seq_open_mouth_xyz,
+    "teaser": teaser_sequence,
+}
+
+
 def generate_custom_test_sequence(
-    cfg: BuilderConfig, n_max: Optional[int] = None, log: bool = True
+    cfg: BuilderConfig,
+    n_max: Optional[int] = None,
+    log: bool = True,
+    sequence: str = "presentation",
+    **seq_kwargs,
 ) -> None:
-    """Euler-waypoint presentation path as the test split
-    (`real_to_nerf.py:1239-1333`)."""
+    """A custom camera/expression path as the test split
+    (`real_to_nerf.py:1239-1333`).  `sequence` picks the generator
+    (CUSTOM_SEQUENCES); extra kwargs (seq_start, neutral_offset, ...)
+    reach it.  As in the reference, the frame count is the POSE count —
+    open_mouth_xyz's surplus expression rows are never written (:1258).
+    """
     names, N, im_size, intrinsics, expressions, rigid_poses, _ = _load_source(cfg)
-    out_expr, out_poses = euler_waypoint_sequence(rigid_poses, expressions)
+    out_expr, out_poses = CUSTOM_SEQUENCES[sequence](
+        rigid_poses, expressions, **seq_kwargs
+    )
     _write_test_sequence(
         cfg, out_expr, out_poses, intrinsics, im_size,
         names=names, n_max=n_max, log=log,

@@ -66,7 +66,7 @@ def _stub_modules():
 
 
 def _write_config(path, basedir, logdir, iters, rays, samples,
-                  deterministic=False):
+                  deterministic=False, seed=None):
     import yaml
 
     with open(REF_CFG) as f:
@@ -79,6 +79,8 @@ def _write_config(path, basedir, logdir, iters, rays, samples,
     cfg["experiment"]["print_every"] = 1
     cfg["experiment"]["validate_every"] = 10 * iters  # only fires at i==0
     cfg["experiment"]["save_every"] = iters - 1
+    if seed is not None:
+        cfg["experiment"]["randomseed"] = seed
     cfg["nerf"]["train"]["num_random_rays"] = rays
     cfg["nerf"]["train"]["num_coarse"] = samples
     cfg["nerf"]["train"]["num_fine"] = samples
@@ -142,16 +144,20 @@ def run_reference(cfg_path, init_ckpt):
     return [losses[i] for i in sorted(losses)]
 
 
-def run_ours(cfg_path, init_ckpt):
-    """Run this repo's training CLI (f32 XLA parity path) and parse its
-    per-iter losses."""
+def run_ours(cfg_path, init_ckpt, bf16=False):
+    """Run this repo's training CLI and parse its per-iter losses.
+
+    Default: the f32 XLA parity path.  bf16=True: the production path —
+    bfloat16 compute, which routes training through the one-pass fused
+    Pallas train kernel (`train/fused.py`; requires a TPU backend)."""
     from nerface_tpu.cli import train as train_cli
 
+    argv = ["--config", cfg_path, "--load-checkpoint", init_ckpt]
+    if bf16:
+        argv.append("--bf16")
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        train_cli.main([
-            "--config", cfg_path, "--load-checkpoint", init_ckpt,
-        ])
+        train_cli.main(argv)
     losses = {}
     for m in re.finditer(
         r"\[TRAIN\] Iter: (\d+) Loss: ([0-9.eE+-]+)", buf.getvalue()
@@ -230,15 +236,30 @@ def main():
     ap.add_argument("--out", type=str, default="PARITY.md")
     ap.add_argument("--deterministic", action="store_true",
                     help="perturb off + sigma noise 0 on both sides")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="rewrite experiment.randomseed for this run")
+    ap.add_argument("--side", choices=["both", "ref", "ours"], default="both",
+                    help="run one side only; dumps a JSON result under "
+                         "workdir/results/ for later aggregation")
+    ap.add_argument("--fused-bf16", action="store_true",
+                    help="our side runs the PRODUCTION path: bf16 compute "
+                         "through the one-pass fused Pallas train kernel "
+                         "(needs the TPU backend; do not combine with "
+                         "--side ref)")
+    ap.add_argument("--prepare", action="store_true",
+                    help="only create the shared dataset + init checkpoint")
     args = ap.parse_args()
 
     # Force the CPU backend via jax.config, not the env var: this image's
     # sitecustomize pre-imports jax against the axon TPU tunnel, so a
     # plain JAX_PLATFORMS=cpu is too late on some paths and the rehearsal
     # would silently run (and occasionally hang) on the tunneled device.
+    # The fused-bf16 production path is the one mode that NEEDS the TPU:
+    # the Pallas train kernel only compiles on tpu/axon backends.
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if not args.fused_bf16:
+        jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
 
@@ -255,61 +276,121 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    import json
+
     os.makedirs(args.workdir, exist_ok=True)
     ds_dir = os.path.join(args.workdir, "ds")
     if not os.path.exists(os.path.join(ds_dir, "transforms_train.json")):
         make_synthetic_flame_dataset(ds_dir, H=64, W=64, n_train=8, n_val=4,
                                      n_test=1)
 
-    cfg_path = os.path.join(args.workdir, "cfg.yml")
-    ref_logdir = os.path.join(args.workdir, "ref_logs")
-    cfg = _write_config(cfg_path, ds_dir, ref_logdir, args.iters, args.rays,
-                        args.samples, deterministic=args.deterministic)
+    tag = "det" if args.deterministic else "prod"
+    if args.seed is not None:
+        tag += f"_s{args.seed}"
 
-    # shared initial checkpoint (our init exported to the torch schema)
-    jcfg = load_config(cfg_path)
-    model = MODELS[cfg["models"]["coarse"]["type"]](
-        num_encoding_fn_xyz=cfg["models"]["coarse"]["num_encoding_fn_xyz"],
-        num_encoding_fn_dir=cfg["models"]["coarse"]["num_encoding_fn_dir"],
-        include_input_xyz=cfg["models"]["coarse"]["include_input_xyz"],
-        include_input_dir=cfg["models"]["coarse"]["include_input_dir"],
-    )
-    state, _ = create_train_state(
-        jax.random.PRNGKey(0), model, model, jcfg, FeatureFlags(), n_train=8,
-    )
+    # shared initial checkpoint (our init exported to the torch schema);
+    # always built from PRNGKey(0) so every run of every seed resumes
+    # from identical weights.  Written atomically (parallel per-seed
+    # background runs may race on first creation).
+    ref_cfg_path = os.path.join(args.workdir, f"cfg_ref_{tag}.yml")
+    ref_logdir = os.path.join(args.workdir, f"ref_logs_{tag}")
+    cfg = _write_config(ref_cfg_path, ds_dir, ref_logdir, args.iters,
+                        args.rays, args.samples,
+                        deterministic=args.deterministic, seed=args.seed)
     init_ckpt = os.path.join(args.workdir, "init.ckpt")
-    export_torch_checkpoint(init_ckpt, state, loss=0.0, psnr=0.0)
+    if not os.path.exists(init_ckpt):
+        jcfg = load_config(ref_cfg_path)
+        model = MODELS[cfg["models"]["coarse"]["type"]](
+            num_encoding_fn_xyz=cfg["models"]["coarse"]["num_encoding_fn_xyz"],
+            num_encoding_fn_dir=cfg["models"]["coarse"]["num_encoding_fn_dir"],
+            include_input_xyz=cfg["models"]["coarse"]["include_input_xyz"],
+            include_input_dir=cfg["models"]["coarse"]["include_input_dir"],
+        )
+        state, _ = create_train_state(
+            jax.random.PRNGKey(0), model, model, jcfg, FeatureFlags(),
+            n_train=8,
+        )
+        tmp = init_ckpt + f".tmp{os.getpid()}"
+        export_torch_checkpoint(tmp, state, loss=0.0, psnr=0.0)
+        os.replace(tmp, init_ckpt)
+    if args.prepare:
+        print(f"[rehearsal] prepared {ds_dir} and {init_ckpt}")
+        return
 
-    print(f"[rehearsal] reference script, {args.iters} iters on CPU ...")
-    ref_losses = run_reference(cfg_path, init_ckpt)
-    print(f"[rehearsal] parsed {len(ref_losses)} reference losses; "
-          f"first {ref_losses[0]:.4f} last {ref_losses[-1]:.4f}")
+    def _template_state():
+        jcfg = load_config(ref_cfg_path)
+        model = MODELS[cfg["models"]["coarse"]["type"]](
+            num_encoding_fn_xyz=cfg["models"]["coarse"]["num_encoding_fn_xyz"],
+            num_encoding_fn_dir=cfg["models"]["coarse"]["num_encoding_fn_dir"],
+            include_input_xyz=cfg["models"]["coarse"]["include_input_xyz"],
+            include_input_dir=cfg["models"]["coarse"]["include_input_dir"],
+        )
+        state, _ = create_train_state(
+            jax.random.PRNGKey(0), model, model, jcfg, FeatureFlags(),
+            n_train=8,
+        )
+        return state
 
-    # our run gets its own logdir (the config file is shared)
-    our_logdir = os.path.join(args.workdir, "our_logs")
-    _write_config(cfg_path, ds_dir, our_logdir, args.iters, args.rays,
-                  args.samples, deterministic=args.deterministic)
-    print(f"[rehearsal] nerface-tpu CLI, {args.iters} iters ...")
-    our_losses = run_ours(cfg_path, init_ckpt)
-    print(f"[rehearsal] parsed {len(our_losses)} of our losses; "
-          f"first {our_losses[0]:.4f} last {our_losses[-1]:.4f}")
+    results_dir = os.path.join(args.workdir, "results")
+    os.makedirs(results_dir, exist_ok=True)
 
-    # final renders: both checkpoints through OUR f32 renderer
-    ref_ckpts = sorted(
-        f for f in os.listdir(os.path.join(ref_logdir, "rehearsal"))
-        if f.endswith(".ckpt")
-    )
-    ref_state = import_torch_weights(
-        state, load_torch_checkpoint(
-            os.path.join(ref_logdir, "rehearsal", ref_ckpts[-1])
-        ),
-    )
-    ref_psnr, _ = render_psnr(cfg, ref_state.params, ds_dir)
+    def _dump(side, losses, psnr):
+        rec = {
+            "side": side, "seed": args.seed, "iters": args.iters,
+            "deterministic": args.deterministic,
+            "fused_bf16": bool(args.fused_bf16 and side == "ours"),
+            "losses": losses, "final_psnr": psnr,
+        }
+        path = os.path.join(results_dir, f"{side}_{tag}"
+                            + ("_fused" if rec["fused_bf16"] else "") + ".json")
+        with open(path, "w") as f:
+            json.dump(rec, f)
+        print(f"[rehearsal] wrote {path} (final PSNR {psnr:.2f} dB)")
+        return rec
 
-    from nerface_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
-    our_ckpt = latest_checkpoint(os.path.join(our_logdir, "rehearsal"))
-    our_state = load_checkpoint(our_ckpt, state)
-    our_psnr, _ = render_psnr(cfg, our_state.params, ds_dir)
+    ref_losses = our_losses = None
+    ref_psnr = our_psnr = float("nan")
+
+    if args.side in ("both", "ref"):
+        print(f"[rehearsal] reference script, {args.iters} iters on CPU ...")
+        ref_losses = run_reference(ref_cfg_path, init_ckpt)
+        print(f"[rehearsal] parsed {len(ref_losses)} reference losses; "
+              f"first {ref_losses[0]:.4f} last {ref_losses[-1]:.4f}")
+        ref_ckpts = sorted(
+            f for f in os.listdir(os.path.join(ref_logdir, "rehearsal"))
+            if f.endswith(".ckpt")
+        )
+        ref_state = import_torch_weights(
+            _template_state(), load_torch_checkpoint(
+                os.path.join(ref_logdir, "rehearsal", ref_ckpts[-1])
+            ),
+        )
+        ref_psnr, _ = render_psnr(cfg, ref_state.params, ds_dir)
+        _dump("ref", ref_losses, ref_psnr)
+
+    if args.side in ("both", "ours"):
+        our_cfg_path = os.path.join(args.workdir, f"cfg_ours_{tag}.yml")
+        our_logdir = os.path.join(args.workdir, f"our_logs_{tag}")
+        _write_config(our_cfg_path, ds_dir, our_logdir, args.iters, args.rays,
+                      args.samples, deterministic=args.deterministic,
+                      seed=args.seed)
+        mode = "PRODUCTION bf16 fused" if args.fused_bf16 else "f32 XLA parity"
+        print(f"[rehearsal] nerface-tpu CLI ({mode}), {args.iters} iters ...")
+        our_losses = run_ours(our_cfg_path, init_ckpt, bf16=args.fused_bf16)
+        print(f"[rehearsal] parsed {len(our_losses)} of our losses; "
+              f"first {our_losses[0]:.4f} last {our_losses[-1]:.4f}")
+
+        from nerface_tpu.train.checkpoint import (
+            latest_checkpoint,
+            load_checkpoint,
+        )
+        our_ckpt = latest_checkpoint(os.path.join(our_logdir, "rehearsal"))
+        our_state = load_checkpoint(our_ckpt, _template_state())
+        our_psnr, _ = render_psnr(cfg, our_state.params, ds_dir)
+        _dump("ours", our_losses, our_psnr)
+
+    if args.side != "both":
+        return
 
     def ema(xs, a=0.05):
         out, m = [], xs[0]
@@ -323,10 +404,12 @@ def main():
     tail = slice(n // 2, n)
     rel_tail = float(np.mean(np.abs(e_our[tail] - e_ref[tail]) / e_ref[tail]))
 
+    our_path = ("bf16 fused production path" if args.fused_bf16
+                else "f32 XLA parity path")
     report = f"""# Loop-parity rehearsal (full reference script)
 
 Reference `train_transformed_rays.py`, UNMODIFIED, run end-to-end on CPU
-torch vs `nerface_tpu.cli.train` (f32 XLA parity path) — same synthetic
+torch vs `nerface_tpu.cli.train` ({our_path}) — same synthetic
 dataset (64x64, 8 train frames), same config scaled to {args.iters} iters /
 {args.rays} rays / {args.samples}+{args.samples} samples, same initial
 checkpoint (exported through the torch interop). Frame/ray selection RNG
