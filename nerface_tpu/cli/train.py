@@ -50,6 +50,21 @@ def build_parser() -> argparse.ArgumentParser:
              "instead of the host feed.",
     )
     parser.add_argument(
+        "--coordinator-address", type=str, default=None, metavar="HOST:PORT",
+        help="jax.distributed coordinator; with --num-processes/--process-id "
+             "this process joins a multi-host mesh and trains data-parallel "
+             "over every chip of every process (grads all-reduced over "
+             "ICI/DCN).",
+    )
+    parser.add_argument(
+        "--num-processes", type=int, default=None,
+        help="total process count for --coordinator-address.",
+    )
+    parser.add_argument(
+        "--process-id", type=int, default=None,
+        help="this process's id (0..num-processes-1).",
+    )
+    parser.add_argument(
         "--matmul-precision", type=str, default=None,
         choices=["default", "high", "highest"],
         help="XLA matmul precision. TPUs run f32 matmuls in bf16-multipass "
@@ -63,6 +78,19 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
 
     import jax
+
+    if args.coordinator_address:
+        # Must run before any backend use: joins this process's chips into
+        # the global device set (SURVEY §5 distributed backend row).
+        from nerface_tpu.train.distributed import initialize
+
+        if args.num_processes is None or args.process_id is None:
+            raise SystemExit(
+                "--coordinator-address needs --num-processes and --process-id"
+            )
+        initialize(args.coordinator_address, args.num_processes,
+                   args.process_id)
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -73,7 +101,12 @@ def main(argv=None) -> None:
         jax.config.update("jax_default_matmul_precision", args.matmul_precision)
 
     mesh = None
-    if args.num_devices and args.num_devices > 1:
+    if args.coordinator_address:
+        # the mesh spans every process's devices; --num-devices is implied
+        from nerface_tpu.train.distributed import global_data_mesh
+
+        mesh = global_data_mesh()
+    elif args.num_devices and args.num_devices > 1:
         from jax.sharding import Mesh
 
         mesh = Mesh(np.asarray(jax.devices()[: args.num_devices]), ("data",))

@@ -85,46 +85,87 @@ class DeviceRayFeed:
             else None
         )
 
+    def _draw(self, k_frame: jax.Array, k_pix: jax.Array) -> Dict[str, jnp.ndarray]:
+        """One frame + `num_rays` pixels from its importance map.
+
+        Gumbel top-k over the map == sampling without replacement
+        proportional to the map.  Shared by the single-device and mesh
+        samplers so their draws are keyed identically."""
+        t = jax.random.randint(k_frame, (), 0, self.images_u8.shape[0])
+        g = jax.random.gumbel(k_pix, self.log_maps.shape[-1:], jnp.float32)
+        _, sel = jax.lax.top_k(self.log_maps[t] + g, self.num_rays)
+
+        pose = self.poses[t]
+        rd = self.dirs_cam[sel] @ pose[:3, :3].T
+        ro = jnp.broadcast_to(pose[:3, 3], rd.shape)
+        target = self.images_u8[t][sel].astype(jnp.float32) * (1.0 / 255.0)
+
+        batch = {
+            "ray_origins": ro,
+            "ray_directions": rd,
+            "target_rgb": target,
+            "expression": self.expressions[t],
+            "latent_index": self.i_train[t],
+            "frame_index": self.i_train[t],
+            "pixel_indices": sel.astype(jnp.int32),
+        }
+        if self.background is not None:
+            batch["background_rgb"] = self.background[sel]
+        return batch
+
     def make_sampler(self):
         """Return a jitted `sample(key) -> batch` drawing one train frame
         uniformly and `num_rays` pixels without replacement from its bbox
         importance map."""
-        num_rays = self.num_rays
-        dirs_cam = self.dirs_cam
-        images_u8 = self.images_u8
-        poses = self.poses
-        expressions = self.expressions
-        i_train = self.i_train
-        log_maps = self.log_maps
-        background = self.background
-        n_train = images_u8.shape[0]
 
         @jax.jit
         def sample(key: jax.Array) -> Dict[str, jnp.ndarray]:
             k_frame, k_pix = jax.random.split(key)
-            t = jax.random.randint(k_frame, (), 0, n_train)
+            return self._draw(k_frame, k_pix)
 
-            # Gumbel top-k over the frame's importance map == sampling
-            # without replacement proportional to the map
-            g = jax.random.gumbel(k_pix, log_maps.shape[-1:], jnp.float32)
-            _, sel = jax.lax.top_k(log_maps[t] + g, num_rays)
+        return sample
 
-            pose = poses[t]
-            rd = dirs_cam[sel] @ pose[:3, :3].T
-            ro = jnp.broadcast_to(pose[:3, 3], rd.shape)
-            target = images_u8[t][sel].astype(jnp.float32) * (1.0 / 255.0)
+    def make_mesh_sampler(self, mesh, data_axis: str = "data"):
+        """Per-device sampling for a data-parallel mesh — the feed's target
+        regime (many chips per host, where a host feed would bottleneck).
 
-            batch = {
-                "ray_origins": ro,
-                "ray_directions": rd,
-                "target_rgb": target,
-                "expression": expressions[t],
-                "latent_index": i_train[t],
-                "frame_index": i_train[t],
-                "pixel_indices": sel.astype(jnp.int32),
-            }
-            if background is not None:
-                batch["background_rgb"] = background[sel]
-            return batch
+        One frame is drawn per step (shared across the mesh: the train
+        step replicates the expression/latent entries, `train/step.py`
+        in_specs), then every device draws its OWN `num_rays` pixels from
+        that frame's importance map with a per-device fold of the step
+        key. The returned global batch has n_devices x num_rays rays,
+        laid out so device d's shard IS its own draw (sharding constraint
+        over `data_axis`) — no cross-device gather ever materializes.
+        Deterministic: block d equals a single-device draw with
+        fold_in(key_pix, d)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = int(mesh.devices.size)
+        ray_sharding = NamedSharding(mesh, P(data_axis))
+        rep_sharding = NamedSharding(mesh, P())
+        ray_keys = {
+            "ray_origins", "ray_directions", "target_rgb",
+            "background_rgb", "pixel_indices",
+        }
+
+        @jax.jit
+        def sample(key: jax.Array) -> Dict[str, jnp.ndarray]:
+            k_frame, k_pix = jax.random.split(key)
+            per_dev = jax.vmap(
+                lambda d: self._draw(k_frame, jax.random.fold_in(k_pix, d))
+            )(jnp.arange(n_dev))
+            out = {}
+            for k, v in per_dev.items():
+                if k in ray_keys:
+                    out[k] = jax.lax.with_sharding_constraint(
+                        v.reshape((n_dev * self.num_rays,) + v.shape[2:]),
+                        ray_sharding,
+                    )
+                else:
+                    # identical across devices (same k_frame); keep one
+                    out[k] = jax.lax.with_sharding_constraint(
+                        v[0], rep_sharding
+                    )
+            return out
 
         return sample

@@ -204,6 +204,34 @@ def evaluate(
 
     settings = RenderSettings.from_cfg(cfg, mode="validation")
 
+    # Opt-in fast eval (nerf.validation.fast_eval, default off — the
+    # parity path renders every ray): skip rays outside the UNION of the
+    # test split's head bboxes, with the active-ray capacity sized to that
+    # union so no ray overflows. The union (not per-frame boxes) keeps
+    # ablation modes safe — they render frame i under other frames' poses.
+    fast_bbox = None
+    if settings.fast_eval:
+        import dataclasses as _dc
+
+        bbs = np.asarray(dataset.bboxes)[np.asarray(dataset.i_test)]
+        fast_bbox = np.array(
+            [bbs[:, 0].min(), bbs[:, 1].max(),
+             bbs[:, 2].min(), bbs[:, 3].max()], np.int32,
+        )
+        area = (
+            float(fast_bbox[1] - fast_bbox[0] + 1)
+            * float(fast_bbox[3] - fast_bbox[2] + 1) / float(H * W)
+        )
+        settings = _dc.replace(
+            settings, fast_eval_capacity=min(1.0, area * 1.05)
+        )
+        if log:
+            print(
+                f"[fast-eval] bbox union {fast_bbox.tolist()}, "
+                f"active capacity {settings.fast_eval_capacity:.2f} of "
+                f"{H * W} rays"
+            )
+
     os.makedirs(savedir, exist_ok=True)
     os.makedirs(os.path.join(savedir, "normals"), exist_ok=True)
     if save_disparity_image:
@@ -270,6 +298,7 @@ def evaluate(
             ray_directions_ablation=ray_directions_ablation,
             dtype=dtype,
             mesh=mesh,
+            bbox=fast_bbox,
         )
         rgb = out.get("rgb_fine", out["rgb_coarse"])
         disp = out.get("disp_fine", out["disp_coarse"])

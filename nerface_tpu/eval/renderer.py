@@ -109,6 +109,111 @@ def _render_frame_jit(
     return {k: _restore(v) for k, v in tiles.items()}
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model_coarse", "model_fine", "height", "width", "settings", "tile",
+        "dtype",
+    ),
+)
+def _render_frame_fast_jit(
+    model_coarse,
+    model_fine,
+    params_coarse,
+    params_fine,
+    height: int,
+    width: int,
+    intrinsics,
+    pose,
+    settings: RenderSettings,
+    key,
+    expressions,
+    latent_code,
+    background,  # (H*W, 3) or None
+    bbox,        # (4,) pixel [h0, h1, w0, w1]
+    tile: int,
+    dtype,
+) -> Dict[str, Any]:
+    """Opt-in fast eval: only the rays inside the head bbox run the
+    radiance field — everything outside composites directly to the
+    background (exactly where a trained model's empty space converges:
+    the bg sample's raw RGB with ~full transmittance, §2.4 background
+    semantics).  TPU-static skipping: a stable argsort over the inside
+    mask packs active rays into a FIXED capacity buffer
+    (`settings.fast_eval_capacity` of H·W, rounded up to whole tiles),
+    tiles render as usual, and results scatter back.  Rays beyond
+    capacity fall back to background — the eval driver sizes the
+    capacity from the dataset's largest bbox so none overflow."""
+    n = height * width
+    cap = _round_up(
+        max(1, int(n * float(settings.fast_eval_capacity))), tile
+    )
+    cap = min(cap, _round_up(n, tile))
+
+    ro, rd = get_ray_bundle(height, width, intrinsics, pose)
+    ro = ro.reshape(n, 3)
+    rd = rd.reshape(n, 3)
+
+    ii = jnp.arange(n, dtype=jnp.int32) // width   # pixel row
+    jj = jnp.arange(n, dtype=jnp.int32) % width    # pixel col
+    h0, h1, w0, w1 = bbox[0], bbox[1], bbox[2], bbox[3]
+    inside = (ii >= h0) & (ii <= h1) & (jj >= w0) & (jj <= w1)
+
+    # Stable sort puts active rays first in raster order; take `cap`.
+    order = jnp.argsort(~inside, stable=True)
+    act = order[:cap]
+
+    import dataclasses as _dc
+
+    tile_settings = _dc.replace(settings, fused_render=True)
+
+    bg_flat = background
+    ro_t = ro[act].reshape(-1, tile, 3)
+    rd_t = rd[act].reshape(-1, tile, 3)
+    idx_t = act.reshape(-1, tile)
+    bg_t = (
+        bg_flat[act].reshape(-1, tile, 3) if bg_flat is not None else None
+    )
+
+    def render_tile(args):
+        ro_i, rd_i, idx_i, bg_i = args
+        out = render_rays(
+            model_coarse, model_fine, params_coarse, params_fine,
+            ro_i, rd_i, tile_settings, key=key,
+            expressions=expressions, latent_code=latent_code,
+            background_prior=bg_i, dtype=dtype, ray_index=idx_i,
+        )
+        out.pop("weights")
+        return {k: v for k, v in out.items() if v is not None}
+
+    tiles = jax.lax.map(render_tile, (ro_t, rd_t, idx_t, bg_t))
+
+    # Background defaults for skipped rays: the bg sample absorbs all
+    # transmittance (acc/bg_weight 1, depth at the far plane).
+    have_bg = bg_flat is not None
+    far = jnp.asarray(settings.far, jnp.float32)
+
+    def _default(k):
+        if k.startswith("rgb"):
+            if have_bg:
+                return bg_flat
+            return jnp.full((n, 3), 1.0 if settings.white_background else 0.0)
+        if k.startswith("disp"):
+            return jnp.full((n,), 1.0 / jnp.maximum(far, 1e-10))
+        if k.startswith("depth"):
+            return jnp.full((n,), far)
+        # acc_* / bg_weight
+        return jnp.full((n,), 1.0 if have_bg else 0.0)
+
+    out = {}
+    for k, v in tiles.items():
+        flat = v.reshape(cap, *v.shape[2:])
+        full = _default(k).astype(flat.dtype)
+        full = full.at[act].set(flat)
+        out[k] = full.reshape(height, width, *v.shape[2:])
+    return out
+
+
 def render_full_frame(
     model_coarse,
     model_fine,
@@ -128,6 +233,7 @@ def render_full_frame(
     dtype=None,
     mesh: Optional[jax.sharding.Mesh] = None,
     data_axis: str = "data",
+    bbox: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render one full frame; returns image-shaped maps
     (rgb_coarse/rgb_fine (H,W,3), disp/acc/depth (H,W), bg_weight (H,W)).
@@ -137,6 +243,10 @@ def render_full_frame(
     `mesh`, the frame's rays are sharded over `data_axis` — each chip
     renders its slice of the ray axis (embarrassingly parallel; the only
     collective is the output all-gather XLA inserts).
+
+    With `settings.fast_eval` and a pixel `bbox` [h0, h1, w0, w1], only
+    bbox rays run the radiance field (single-device path; a mesh falls
+    back to the parity renderer).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -148,6 +258,16 @@ def render_full_frame(
         if ray_directions_ablation is not None
         else None
     )
+    if (
+        settings.fast_eval and bbox is not None and mesh is None
+        and abl is None and settings.no_ndc
+    ):
+        return _render_frame_fast_jit(
+            model_coarse, model_fine, params_coarse, params_fine,
+            height, width, jnp.asarray(intrinsics), jnp.asarray(pose),
+            settings, key, expressions, latent_code, bg,
+            jnp.asarray(bbox, jnp.int32), tile, dtype,
+        )
     if mesh is not None:
         return _render_frame_sharded(
             model_coarse, model_fine, params_coarse, params_fine,

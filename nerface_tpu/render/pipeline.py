@@ -88,6 +88,15 @@ class RenderSettings:
     # Forward-only — set internally by the full-frame eval renderer, never
     # on a differentiated path (the render kernel has no VJP).
     fused_render: bool = False
+    # Opt-in fast eval (OFF the parity path): only rays inside the frame's
+    # head bbox run the radiance field; the rest are composited straight to
+    # the background. Static shapes via a fixed active-ray capacity —
+    # `fast_eval_capacity` is the fraction of H*W rays given to the MLP
+    # (the eval driver sizes it from the dataset's largest bbox). The
+    # reference renders every ray (`eval_transformed_rays.py:449-467`);
+    # recorded speed/PSNR deltas live in BENCH_NOTES.md.
+    fast_eval: bool = False
+    fast_eval_capacity: float = 0.6
 
     @classmethod
     def from_cfg(cls, cfg, mode: str = "train") -> "RenderSettings":
@@ -117,6 +126,8 @@ class RenderSettings:
             ),
             encode_dir=encode_dir,
             chunksize=int(node.chunksize),
+            fast_eval=bool(node.get("fast_eval", False)),
+            fast_eval_capacity=float(node.get("fast_eval_capacity", 0.6)),
         )
 
 

@@ -166,8 +166,23 @@ def train(
     dtype=None,
     device_feed: bool = False,
 ) -> TrainState:
-    """Run training per the config; returns the final TrainState."""
+    """Run training per the config; returns the final TrainState.
+
+    Multi-process (`jax.distributed`-initialized callers): pass the
+    process-spanning mesh; every process must run this function with the
+    same config/seed.  Each draws the identical global sample stream and
+    contributes its local ray block (`train/distributed.py::global_batch`);
+    logging/checkpoint IO happens on process 0 only, and validation renders
+    process-locally (full-frame eval does not span hosts).
+    """
     flags = FeatureFlags.from_cfg(cfg)
+    multiprocess = jax.process_count() > 1
+    if multiprocess and device_feed:
+        raise NotImplementedError(
+            "--device-feed is per-process; use the host feed under "
+            "multi-process training"
+        )
+    primary = jax.process_index() == 0
 
     if dataset is None:
         dataset = load_flame_data(
@@ -190,7 +205,7 @@ def train(
     )
 
     logdir = os.path.join(str(cfg.experiment.logdir), str(cfg.experiment.id))
-    writer = ScalarWriter(logdir, cfg=cfg, enabled=log)
+    writer = ScalarWriter(logdir, cfg=cfg, enabled=log and primary)
 
     # Resume: native orbax dir or reference torch .ckpt file.
     if load_checkpoint:
@@ -212,8 +227,19 @@ def train(
         )
 
     settings = RenderSettings.from_cfg(cfg, mode="train")
+    from nerface_tpu.train.optim import flat_adam_donation_unsafe
+
+    donate = not flat_adam_donation_unsafe(state.opt_state)
+    if not donate and primary:
+        print(
+            "[train] flat_adam on the tunneled axon backend: buffer "
+            "donation disabled (known donation-aliasing runtime failure "
+            "at production batch size — BENCH_NOTES.md; repro in "
+            "tools/perf/flat_adam_donation_repro.py)"
+        )
     step_fn = make_train_step(
-        model_coarse, model_fine, settings, flags, optimizer, mesh=mesh, dtype=dtype
+        model_coarse, model_fine, settings, flags, optimizer, mesh=mesh,
+        dtype=dtype, donate=donate,
     )
 
     if device_feed:
@@ -221,11 +247,17 @@ def train(
         # one jitted fn; no per-step host work (scale-out variant)
         from nerface_tpu.data.device_feed import DeviceRayFeed
 
-        sampler = DeviceRayFeed(
+        dfeed = DeviceRayFeed(
             dataset,
             num_rays=int(cfg.nerf.train.num_random_rays),
             background=background if flags.fixed_background else None,
-        ).make_sampler()
+        )
+        # under a mesh every device draws its own ray batch in place
+        # (feed's target regime: many chips per host)
+        sampler = (
+            dfeed.make_mesh_sampler(mesh) if mesh is not None
+            else dfeed.make_sampler()
+        )
         feed_key = jax.random.PRNGKey(seed + 1)
 
         class _DeviceFeedIter:
@@ -254,6 +286,15 @@ def train(
     save_every = int(cfg.experiment.save_every)
     print_every = int(cfg.experiment.print_every)
 
+    if multiprocess:
+        # Initial state lives on this process's default device; a committed
+        # local array cannot enter a process-spanning jit. Hand numpy to the
+        # first step instead — jit replicates it over the global mesh (every
+        # process constructed the identical state from the shared seed).
+        state = jax.tree.map(
+            lambda x: np.asarray(x) if hasattr(x, "sharding") else x, state
+        )
+
     key = jax.random.PRNGKey(seed)
     start_iter = int(state.step)
     t_start = time.time()
@@ -262,10 +303,14 @@ def train(
     try:
         for i in range(start_iter, train_iters):
             batch = next(feed)
+            if multiprocess:
+                from nerface_tpu.train.distributed import global_batch
+
+                batch = global_batch(batch, mesh)
             key, sub = jax.random.split(key)
             state, metrics = step_fn(state, batch, sub)
 
-            if i % print_every == 0 or i == train_iters - 1:
+            if (i % print_every == 0 or i == train_iters - 1) and primary:
                 m = {k: float(v) for k, v in metrics.items()}
                 elapsed = time.time() - t_start
                 rays_s = rays_per_step * (i - start_iter + 1) / max(elapsed, 1e-9)
@@ -287,20 +332,38 @@ def train(
             if validate_every > 0 and i % validate_every == 0 and len(dataset.i_val):
                 # Validation rides the same mesh as training: the frame's
                 # ray axis is sharded so all chips render, none idle.
+                # Multi-process: render process-locally instead (full-frame
+                # eval inputs are host-local); only process 0 logs. Params
+                # are replicated over the global mesh, so every process can
+                # read a full local copy.
+                val_state = state
+                if multiprocess:
+                    val_state = jax.tree.map(
+                        lambda x: np.asarray(x) if hasattr(x, "sharding") else x,
+                        state,
+                    )
                 vm = validate(
-                    cfg, dataset, model_coarse, model_fine, state, background,
-                    flags, writer, i, dtype=dtype, mesh=mesh,
+                    cfg, dataset, model_coarse, model_fine, val_state,
+                    background, flags, writer, i, dtype=dtype,
+                    mesh=None if multiprocess else mesh,
                 )
-                print(
-                    f"[VAL] Iter: {i} loss: {vm['loss']:.6f} "
-                    f"PSNR: {vm['psnr']:.3f} time: {vm['time']:.2f}s"
-                )
+                if primary:
+                    print(
+                        f"[VAL] Iter: {i} loss: {vm['loss']:.6f} "
+                        f"PSNR: {vm['psnr']:.3f} time: {vm['time']:.2f}s"
+                    )
 
             if save_every > 0 and (i % save_every == 0 or i == train_iters - 1):
+                # EVERY process enters the save: orbax coordinates
+                # multi-process writes internally (a primary-only call
+                # deadlocks in its barrier sync); only process 0 touches
+                # the sidecar files.
                 path = ckpt_lib.save_checkpoint(
-                    logdir, state, {k: float(v) for k, v in metrics.items()}
+                    logdir, state,
+                    {k: float(v) for k, v in metrics.items()} if primary
+                    else None,
                 )
-                if export_torch:
+                if export_torch and primary:
                     from nerface_tpu.train.schedule import from_cfg as _sched
 
                     ckpt_lib.export_torch_checkpoint(

@@ -66,6 +66,21 @@ def flat_adam(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def flat_adam_donation_unsafe(opt_state) -> bool:
+    """True when donating this optimizer state into the jitted step is
+    known-broken: FlatAdamState's big flat moment buffers trip an XLA
+    donation-aliasing RUNTIME failure on the tunneled `axon` TPU backend
+    at production batch size (BENCH_NOTES.md round-2 "Measured no-ops";
+    minimal repro: tools/perf/flat_adam_donation_repro.py).  The train
+    loop consults this to fall back to non-donating dispatch — flat_adam
+    times identically to per-tensor Adam anyway, so nothing is lost."""
+    leaves = jax.tree_util.tree_flatten(
+        opt_state, is_leaf=lambda x: isinstance(x, FlatAdamState)
+    )[0]
+    has_flat = any(isinstance(leaf, FlatAdamState) for leaf in leaves)
+    return has_flat and jax.default_backend() == "axon"
+
+
 def flat_moments_to_tree(state: FlatAdamState, params_template):
     """(mu_tree, nu_tree) shaped like `params_template` — for the torch
     optimizer-state export."""

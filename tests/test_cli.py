@@ -74,3 +74,93 @@ class TestParsers:
 
         with pytest.raises(SystemExit):
             build_parser().parse_args([])
+
+
+class TestEvalNerfEndToEnd:
+    def test_renders_spherical_pose_from_checkpoint(self, tmp_path):
+        """Legacy static eval e2e (`eval_nerf.py:39-192` equivalent):
+        blender dataset -> checkpoint -> one spherical render-pose frame
+        written to savedir with finite pixels."""
+        import os
+
+        import numpy as np
+        import yaml
+
+        import jax
+        from test_loaders import _make_blender_dataset
+
+        from nerface_tpu.config import load_config
+        from nerface_tpu.config.flags import FeatureFlags
+        from nerface_tpu.train import checkpoint as ckpt_lib
+        from nerface_tpu.train.loop import build_models_from_cfg
+        from nerface_tpu.train.state import create_train_state
+
+        ds_dir = _make_blender_dataset(str(tmp_path / "blender"), H=20, W=20)
+        model_cfg = {
+            "type": "FlexibleNeRFModel",
+            "num_layers": 4,
+            "hidden_size": 32,
+            "skip_connect_every": 3,
+            "num_encoding_fn_xyz": 4,
+            "include_input_xyz": True,
+            "log_sampling_xyz": True,
+            "use_viewdirs": True,
+            "num_encoding_fn_dir": 2,
+            "include_input_dir": False,
+            "log_sampling_dir": True,
+        }
+        cfg_dict = {
+            "experiment": {"id": "legacy", "logdir": str(tmp_path / "logs"),
+                           "randomseed": 42, "train_iters": 1,
+                           "validate_every": 100, "save_every": 100,
+                           "print_every": 100},
+            "dataset": {"type": "blender", "basedir": ds_dir,
+                        "half_res": False, "testskip": 1, "no_ndc": True,
+                        "near": 2.0, "far": 6.0},
+            "models": {"coarse": dict(model_cfg), "fine": dict(model_cfg)},
+            "optimizer": {"type": "Adam", "lr": 5.0e-4},
+            "scheduler": {"lr_decay": 250, "lr_decay_factor": 0.1},
+            "nerf": {
+                "use_viewdirs": True,
+                "train": {"num_random_rays": 64, "chunksize": 1024,
+                          "perturb": True, "num_coarse": 8, "num_fine": 8,
+                          "white_background": False,
+                          "radiance_field_noise_std": 0.1,
+                          "lindisp": False},
+                "validation": {"chunksize": 400, "perturb": False,
+                               "num_coarse": 8, "num_fine": 8,
+                               "white_background": False,
+                               "radiance_field_noise_std": 0.0,
+                               "lindisp": False},
+            },
+        }
+        cfg_path = str(tmp_path / "cfg.yml")
+        with open(cfg_path, "w") as f:
+            yaml.dump(cfg_dict, f)
+
+        # a checkpoint through the real save path
+        cfg = load_config(cfg_path)
+        mc, mf = build_models_from_cfg(cfg)
+        flags = FeatureFlags(train_latent_codes=False, fixed_background=False,
+                             disable_latent_codes=True)
+        state, _ = create_train_state(
+            jax.random.PRNGKey(0), mc, mf, cfg, flags, n_train=1
+        )
+        ckpt = ckpt_lib.save_checkpoint(str(tmp_path / "ckpts"), state)
+
+        from nerface_tpu.cli.eval_nerf import main
+
+        savedir = str(tmp_path / "renders")
+        main(["--config", cfg_path, "--checkpoint", ckpt,
+              "--savedir", savedir, "--save-disparity-image",
+              "--max-frames", "1"])
+
+        from PIL import Image
+
+        img = np.asarray(Image.open(os.path.join(savedir, "0000.png")))
+        assert img.shape == (20, 20, 3)
+        assert np.isfinite(img).all()
+        disp = np.asarray(
+            Image.open(os.path.join(savedir, "disparity", "0000.png"))
+        )
+        assert disp.shape[:2] == (20, 20)

@@ -103,3 +103,38 @@ class TestFlatAdam:
         a1 = ckpt_lib._find_adam_state(restored.opt_state)
         np.testing.assert_allclose(np.asarray(a1.mu), np.asarray(s.mu))
         np.testing.assert_allclose(np.asarray(a1.nu), np.asarray(s.nu))
+
+
+class TestDonationFence:
+    """flat_adam + donation is known-broken on the tunneled axon backend
+    (BENCH_NOTES.md; tools/perf/flat_adam_donation_repro.py); the train
+    loop consults `flat_adam_donation_unsafe` to fall back to
+    non-donating dispatch."""
+
+    def test_safe_on_cpu(self):
+        from nerface_tpu.train.optim import (
+            flat_adam,
+            flat_adam_donation_unsafe,
+        )
+
+        opt = flat_adam(1e-3)
+        state = opt.init({"w": jnp.zeros((4,))})
+        assert not flat_adam_donation_unsafe(state)
+
+    def test_unsafe_on_axon_with_flat_state(self, monkeypatch):
+        import jax as _jax
+
+        from nerface_tpu.train.optim import (
+            flat_adam,
+            flat_adam_donation_unsafe,
+        )
+
+        opt = flat_adam(1e-3)
+        state = opt.init({"w": jnp.zeros((4,))})
+        monkeypatch.setattr(_jax, "default_backend", lambda: "axon")
+        assert flat_adam_donation_unsafe(state)
+        # per-tensor optax state never trips the fence
+        import optax
+
+        adam_state = optax.adam(1e-3).init({"w": jnp.zeros((4,))})
+        assert not flat_adam_donation_unsafe(adam_state)

@@ -88,3 +88,60 @@ class TestDiscriminator:
             theirs = tm(torch.from_numpy(latent)).numpy()
         ours = np.asarray(jm.apply(params, latent))
         np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+class TestNormalMapOracle:
+    """`eval/normals.py::normal_map_from_depth` vs the reference's
+    `torch_normal_map` (`eval_transformed_rays.py:84-119`), extracted by
+    AST (the module's top-level imports pull CUDA-era deps)."""
+
+    @pytest.fixture(scope="class")
+    def ref_normal_map(self, ref):
+        import ast
+
+        path = os.path.join(REF_DIR, "eval_transformed_rays.py")
+        tree = ast.parse(open(path).read())
+        # the reference function calls nerf_helpers.meshgrid_xy (:91-92)
+        sys.path.insert(0, REF_DIR)
+        try:
+            from nerf.nerf_helpers import meshgrid_xy
+        finally:
+            sys.path.pop(0)
+        ns = {"torch": torch, "meshgrid_xy": meshgrid_xy}
+        for node in tree.body:
+            if isinstance(node, ast.FunctionDef) and node.name == "torch_normal_map":
+                exec(compile(ast.Module(body=[node], type_ignores=[]),
+                             path, "exec"), ns)
+        return ns["torch_normal_map"]
+
+    @pytest.mark.parametrize("clean", [False, True])
+    @pytest.mark.parametrize("central_difference", [False, True])
+    def test_matches_reference(self, ref_normal_map, clean,
+                               central_difference):
+        import jax.numpy as jnp
+
+        from nerface_tpu.eval.normals import normal_map_from_depth
+
+        rng = np.random.RandomState(3)
+        H = W = 24
+        # smooth positive depth (the reference feeds the disparity map,
+        # :469); smoothness keeps normals generically non-degenerate
+        base = rng.rand(H, W).astype(np.float32)
+        depth = 0.5 + np.cumsum(np.cumsum(base, 0), 1) / (H * W)
+        weights = rng.rand(H, W).astype(np.float32)
+        # relative-center intrinsics (ours) vs pixel cx,cy scaling inside
+        # the reference (:87-88): same [fx, fy, cx_rel, cy_rel] input
+        intr = np.array([300.0, 300.0, 0.5, 0.5], np.float32)
+
+        ref_out = ref_normal_map(
+            torch.from_numpy(depth), intr,
+            weights=torch.from_numpy(weights) if clean else None,
+            clean=clean, central_difference=central_difference,
+        ).numpy()
+        our_out = np.asarray(normal_map_from_depth(
+            jnp.asarray(depth), intr,
+            weights=jnp.asarray(weights) if clean else None,
+            clean=clean, central_difference=central_difference,
+        ))
+        assert our_out.shape == ref_out.shape
+        np.testing.assert_allclose(our_out, ref_out, rtol=1e-4, atol=5e-3)

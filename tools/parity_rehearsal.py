@@ -66,7 +66,7 @@ def _stub_modules():
 
 
 def _write_config(path, basedir, logdir, iters, rays, samples,
-                  deterministic=False, seed=None):
+                  deterministic=False, seed=None, frozen_latents=False):
     import yaml
 
     with open(REF_CFG) as f:
@@ -90,6 +90,10 @@ def _write_config(path, basedir, logdir, iters, rays, samples,
     if deterministic:  # isolate the stochastic elements (A/B diagnosis)
         cfg["nerf"]["train"]["perturb"] = False
         cfg["nerf"]["train"]["radiance_field_noise_std"] = 0.0
+    if frozen_latents:
+        # latents pinned to zero — the resumed REFERENCE's de-facto
+        # semantics (its resume bug silently freezes them; PARITY.md)
+        cfg["experiment"]["flags"] = {"disable_latent_codes": True}
     with open(path, "w") as f:
         yaml.dump(cfg, f)
     return cfg
@@ -246,6 +250,10 @@ def main():
                          "through the one-pass fused Pallas train kernel "
                          "(needs the TPU backend; do not combine with "
                          "--side ref)")
+    ap.add_argument("--frozen-latents", action="store_true",
+                    help="our side pins latent codes to zero "
+                         "(experiment.flags.disable_latent_codes) — the "
+                         "resumed reference's de-facto semantics")
     ap.add_argument("--prepare", action="store_true",
                     help="only create the shared dataset + init checkpoint")
     args = ap.parse_args()
@@ -287,6 +295,8 @@ def main():
     tag = "det" if args.deterministic else "prod"
     if args.seed is not None:
         tag += f"_s{args.seed}"
+    if args.frozen_latents:
+        tag += "_frozen"
 
     # shared initial checkpoint (our init exported to the torch schema);
     # always built from PRNGKey(0) so every run of every seed resumes
@@ -373,7 +383,7 @@ def main():
         our_logdir = os.path.join(args.workdir, f"our_logs_{tag}")
         _write_config(our_cfg_path, ds_dir, our_logdir, args.iters, args.rays,
                       args.samples, deterministic=args.deterministic,
-                      seed=args.seed)
+                      seed=args.seed, frozen_latents=args.frozen_latents)
         mode = "PRODUCTION bf16 fused" if args.fused_bf16 else "f32 XLA parity"
         print(f"[rehearsal] nerface-tpu CLI ({mode}), {args.iters} iters ...")
         our_losses = run_ours(our_cfg_path, init_ckpt, bf16=args.fused_bf16)
