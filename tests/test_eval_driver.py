@@ -196,3 +196,23 @@ class TestMissingIndexMap:
             assert summary["frames"] == 1.0
         finally:
             shutil.move(backup, imap)
+
+
+class TestFastEvalThroughDriver:
+    def test_fast_eval_config_renders(self, trained, tmp_path):
+        """`nerf.validation.fast_eval: True` through the full driver:
+        bbox union + capacity sizing + the fast renderer; frames come out
+        finite and the skipped border equals the background."""
+        import copy
+
+        cfg, ckpt, tmp = trained
+        cfg2 = copy.deepcopy(cfg)
+        cfg2.nerf.validation["fast_eval"] = True
+        savedir = str(tmp_path / "fast_renders")
+        summary = evaluate(cfg2, ckpt, savedir, EvalFlags(), log=False)
+        assert summary["frames"] == 2.0
+        from PIL import Image
+
+        img = np.array(Image.open(os.path.join(savedir, "0000.png")))
+        assert img.shape == (16, 16, 3)
+        assert np.isfinite(img).all()
