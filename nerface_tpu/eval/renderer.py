@@ -145,6 +145,10 @@ def _render_frame_fast_jit(
     capacity fall back to background — the eval driver sizes the
     capacity from the dataset's largest bbox so none overflow."""
     n = height * width
+    # Small tiles round the capacity tighter (a 65536 tile would pad a
+    # 0.35 capacity up to 0.5 of the frame — 40% wasted work) and cost no
+    # throughput (BENCH_NOTES round-2 eval tile sweep: flat 16k→262k).
+    tile = min(tile, 16384)
     cap = _round_up(
         max(1, int(n * float(settings.fast_eval_capacity))), tile
     )

@@ -80,7 +80,10 @@ def run(donate: bool, n_rays: int = 2048, steps: int = 3) -> None:
 
 def main():
     print(f"backend: {jax.default_backend()}", file=sys.stderr)
-    for donate in (True, False):
+    # non-donating FIRST: the donation failure poisons the tunneled worker
+    # for subsequent executions in the same process (verified 2026-08-17 —
+    # running donating first makes the healthy variant fail too)
+    for donate in (False, True):
         label = "donating" if donate else "non-donating"
         try:
             run(donate)
