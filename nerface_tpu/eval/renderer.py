@@ -218,6 +218,96 @@ def _render_frame_fast_jit(
     return out
 
 
+def _render_frame_fast_sharded(
+    model_coarse, model_fine, params_coarse, params_fine,
+    height, width, intrinsics, pose, settings, key,
+    expressions, latent_code, background, bbox, tile, dtype,
+    mesh, data_axis,
+):
+    """Fast eval over a data mesh: the active-ray capacity is sharded so
+    every chip renders its block of the bbox rays (ray data stays
+    replicated — each chip gathers its own indices locally; the only
+    collective is the output all-gather XLA inserts at the shard_map
+    boundary). Same skipping semantics as the single-device fast path."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    n_dev = mesh.shape[data_axis]
+    n = height * width
+    tile = min(tile, 16384)  # see _render_frame_fast_jit
+    cap = _round_up(
+        max(1, int(n * float(settings.fast_eval_capacity))), tile * n_dev
+    )
+    cap = min(cap, _round_up(n, tile * n_dev))
+
+    ro, rd = get_ray_bundle(height, width, intrinsics, pose)
+    ro = ro.reshape(n, 3)
+    rd = rd.reshape(n, 3)
+
+    ii = jnp.arange(n, dtype=jnp.int32) // width
+    jj = jnp.arange(n, dtype=jnp.int32) % width
+    h0, h1, w0, w1 = bbox[0], bbox[1], bbox[2], bbox[3]
+    inside = (ii >= h0) & (ii <= h1) & (jj >= w0) & (jj <= w1)
+    act = jnp.argsort(~inside, stable=True)[:cap]
+
+    import dataclasses as _dc
+
+    tile_settings = _dc.replace(settings, fused_render=True)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(data_axis), P(), P(), P() if background is not None
+                  else P()),
+        out_specs=P(data_axis), check_vma=False,
+    )
+    def shard_fn(act_s, ro_f, rd_f, bg_f):
+        ro_t = ro_f[act_s].reshape(-1, tile, 3)
+        rd_t = rd_f[act_s].reshape(-1, tile, 3)
+        idx_t = act_s.reshape(-1, tile)
+        bg_t = (
+            bg_f[act_s].reshape(-1, tile, 3) if bg_f is not None else None
+        )
+
+        def render_tile(args):
+            ro_i, rd_i, idx_i, bg_i = args
+            out = render_rays(
+                model_coarse, model_fine, params_coarse, params_fine,
+                ro_i, rd_i, tile_settings, key=key,
+                expressions=expressions, latent_code=latent_code,
+                background_prior=bg_i, dtype=dtype, ray_index=idx_i,
+            )
+            out.pop("weights")
+            return {k: v for k, v in out.items() if v is not None}
+
+        tiles = jax.lax.map(render_tile, (ro_t, rd_t, idx_t, bg_t))
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape(-1, *x.shape[2:]), tiles
+        )
+
+    tiles = shard_fn(act, ro, rd, background)
+
+    have_bg = background is not None
+    far = jnp.asarray(settings.far, jnp.float32)
+
+    def _default(k):
+        if k.startswith("rgb"):
+            if have_bg:
+                return background
+            return jnp.full((n, 3), 1.0 if settings.white_background else 0.0)
+        if k.startswith("disp"):
+            return jnp.full((n,), 1.0 / jnp.maximum(far, 1e-10))
+        if k.startswith("depth"):
+            return jnp.full((n,), far)
+        return jnp.full((n,), 1.0 if have_bg else 0.0)
+
+    out = {}
+    for k, v in tiles.items():
+        full = _default(k).astype(v.dtype)
+        full = full.at[act].set(v)
+        out[k] = full.reshape(height, width, *v.shape[1:])
+    return out
+
+
 def render_full_frame(
     model_coarse,
     model_fine,
@@ -249,8 +339,8 @@ def render_full_frame(
     collective is the output all-gather XLA inserts).
 
     With `settings.fast_eval` and a pixel `bbox` [h0, h1, w0, w1], only
-    bbox rays run the radiance field (single-device path; a mesh falls
-    back to the parity renderer).
+    bbox rays run the radiance field — single-device or sharded over the
+    mesh (each chip renders its block of the active-ray capacity).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -263,9 +353,16 @@ def render_full_frame(
         else None
     )
     if (
-        settings.fast_eval and bbox is not None and mesh is None
+        settings.fast_eval and bbox is not None
         and abl is None and settings.no_ndc
     ):
+        if mesh is not None:
+            return _render_frame_fast_sharded(
+                model_coarse, model_fine, params_coarse, params_fine,
+                height, width, jnp.asarray(intrinsics), jnp.asarray(pose),
+                settings, key, expressions, latent_code, bg,
+                jnp.asarray(bbox, jnp.int32), tile, dtype, mesh, data_axis,
+            )
         return _render_frame_fast_jit(
             model_coarse, model_fine, params_coarse, params_fine,
             height, width, jnp.asarray(intrinsics), jnp.asarray(pose),

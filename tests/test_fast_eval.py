@@ -148,3 +148,37 @@ class TestFastEval:
         cfg.nerf.validation.pop("fast_eval_capacity")
         s2 = RenderSettings.from_cfg(cfg, mode="validation")
         assert not s2.fast_eval
+
+
+class TestFastEvalSharded:
+    def test_mesh_matches_single_device(self, setup):
+        """Mesh fast eval == single-device fast eval (same capacity
+        rounding granularity), every output map."""
+        import jax
+        from jax.sharding import Mesh
+
+        n_dev = min(4, len(jax.devices()))
+        if n_dev < 2:
+            pytest.skip("needs >= 2 devices")
+        mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("data",))
+        model, pc, pf, intr, pose, expr, latent, bg = setup
+        # tile * n_dev must divide the capacity identically on both paths:
+        # pick tile so cap rounds the same (tile 16, cap 0.5*256=128 ->
+        # round_up(128, 16)=128 and round_up(128, 16*4)=128)
+        s = _settings(fast_eval=True, fast_eval_capacity=0.5, chunksize=16)
+        common = dict(
+            key=jax.random.PRNGKey(5), expressions=expr,
+            latent_code=latent, background=bg, bbox=BBOX,
+        )
+        single = render_full_frame(
+            model, model, pc, pf, H, W, intr, pose, s, **common
+        )
+        sharded = render_full_frame(
+            model, model, pc, pf, H, W, intr, pose, s, mesh=mesh, **common
+        )
+        assert set(single) == set(sharded)
+        for k in single:
+            np.testing.assert_allclose(
+                np.asarray(sharded[k]), np.asarray(single[k]),
+                rtol=1e-5, atol=1e-5, err_msg=k,
+            )
