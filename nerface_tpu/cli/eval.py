@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--per-frame-latent", action="store_true",
                         help="Use idx_map[i] latent codes instead of the "
                              "reference's pinned idx_map[10].")
+    parser.add_argument("--fast-eval", action="store_true",
+                        help="Opt-in fast eval: skip rays outside the test "
+                             "split's head-bbox union (off the parity "
+                             "path; equals nerf.validation.fast_eval).")
     return parser
 
 
@@ -76,6 +80,9 @@ def main(argv=None) -> None:
         ),
     )
     flags = dataclasses.replace(flags, **overrides)
+
+    if args.fast_eval:
+        cfg.nerf.validation["fast_eval"] = True
 
     if args.matmul_precision:
         import jax
