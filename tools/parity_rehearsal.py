@@ -256,7 +256,33 @@ def main():
                          "resumed reference's de-facto semantics")
     ap.add_argument("--prepare", action="store_true",
                     help="only create the shared dataset + init checkpoint")
+    ap.add_argument("--report", action="store_true",
+                    help="aggregate workdir/results/*.json into a summary "
+                         "table (no runs)")
     args = ap.parse_args()
+
+    if args.report:
+        import glob
+        import json as _json
+
+        import numpy as _np
+
+        rows = []
+        for f in sorted(glob.glob(os.path.join(args.workdir, "results",
+                                               "*.json"))):
+            d = _json.load(open(f))
+            xs = d["losses"]
+            m = xs[0]
+            for x in xs:
+                m = 0.95 * m + 0.05 * x
+            rows.append((os.path.basename(f)[:-5], xs[0], m,
+                         float(_np.mean(xs[-50:])), d["final_psnr"]))
+        print(f"{'run':36s} {'first':>8s} {'EMA':>8s} {'last50':>9s} "
+              f"{'valPSNR':>8s}")
+        for name, first, emaf, l50, psnr in rows:
+            print(f"{name:36s} {first:8.4f} {emaf:8.4f} {l50:9.2e} "
+                  f"{psnr:8.2f}")
+        return
 
     # Force the CPU backend via jax.config, not the env var: this image's
     # sitecustomize pre-imports jax against the axon TPU tunnel, so a
