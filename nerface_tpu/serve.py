@@ -1,0 +1,394 @@
+"""Persistent avatar-rendering server — the production serving surface.
+
+The reference has no serving story: `eval_transformed_rays.py:201-290`
+is a batch script that pays dataset load + model build + checkpoint
+restore on every invocation and renders a fixed test split. Deploying an
+avatar means answering *requests* — "render this expression under this
+pose" — at interactive rates. This module keeps a resident process that
+loads once, compiles once, and then renders each request through the
+same jitted full-frame renderer as batch eval (`eval/renderer.py`):
+
+- **Warm jit cache.** Every request reuses ONE compiled executable
+  (static H/W/sample-count/capacity shapes), so requests after the first
+  are compile-free. On a v5e chip the fast-eval path serves 512² frames
+  at ~4.3 fps (BENCH_NOTES.md "Opt-in fast eval").
+- **Same quality contract as eval.** The parity renderer is the default;
+  `fast_eval` (head-bbox ray skipping) is the same opt-in as the eval
+  driver's, sized from the dataset's test-split bbox union.
+- **Multi-chip serving.** Pass a `jax.sharding.Mesh` and each frame's
+  rays shard over the data axis exactly like batch eval — serving scales
+  the same way the offline path does.
+
+Protocol: newline-delimited JSON, over stdio or TCP. One request per
+line; one JSON response per line. Fields (all optional unless noted):
+
+  {"expression": [76 floats]   — defaults to the request frame's / first
+                                 test frame's expression
+   "pose": 16 or 4x4 floats    — camera-to-world; same default story
+   "frame": int                — take pose/expression/latent defaults
+                                 from test-split frame i
+   "latent_index": int         — row of the trained latent-code table
+   "seed": int                 — RNG stream for stratified samples
+   "maps": ["rgb_fine", ...]   — any of rgb_fine/rgb_coarse/disp/depth/
+                                 acc/normals (default ["rgb_fine"])
+   "save": "/path/prefix"      — write <prefix><map>.png per map
+   "encode": "png_base64"      — inline the maps in the response
+   "cmd": "ping" | "stop"}     — health check / shutdown
+
+Responses: {"ok": true, "frame_ms": .., "saved": [..], "maps": {..}} or
+{"ok": false, "error": ".."}. A malformed request never kills the server.
+"""
+
+from __future__ import annotations
+
+import base64
+import dataclasses
+import io
+import json
+import socket
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerface_tpu.config.flags import EvalFlags, FeatureFlags
+from nerface_tpu.data.flame import load_flame_data
+from nerface_tpu.eval.driver import (
+    cast_to_disparity_image,
+    cast_to_image,
+)
+from nerface_tpu.eval.normals import normal_map_from_depth
+from nerface_tpu.eval.renderer import render_full_frame
+from nerface_tpu.render.pipeline import RenderSettings
+
+_KNOWN_MAPS = ("rgb_fine", "rgb_coarse", "disp", "depth", "acc", "normals")
+
+
+def _encode_png(img: np.ndarray) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+class AvatarServer:
+    """Resident renderer over one trained avatar checkpoint.
+
+    Construction mirrors the eval driver's setup
+    (`eval/driver.py::evaluate`): dataset metadata for intrinsics and
+    defaults, model build from cfg, orbax-or-torch checkpoint restore,
+    background / latent-code / index-map resolution, and the fast-eval
+    bbox-union capacity when enabled.
+    """
+
+    def __init__(
+        self,
+        cfg,
+        checkpoint: str,
+        dataset=None,
+        eval_flags: Optional[EvalFlags] = None,
+        dtype=None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        log: bool = True,
+    ):
+        import os
+
+        from nerface_tpu.train import checkpoint as ckpt_lib
+        from nerface_tpu.train.loop import build_models_from_cfg
+        from nerface_tpu.train.state import create_train_state
+
+        self.cfg = cfg
+        self.checkpoint = checkpoint
+        self.dtype = dtype
+        self.mesh = mesh
+        self.flags = eval_flags if eval_flags is not None else EvalFlags.from_cfg(cfg)
+
+        if dataset is None:
+            dataset = load_flame_data(
+                cfg.dataset.basedir,
+                half_res=cfg.dataset.half_res,
+                testskip=cfg.dataset.testskip,
+                test=True,
+                cachedir=cfg.dataset.get("cachedir"),
+            )
+        self.dataset = dataset
+        self.H, self.W = dataset.H, dataset.W
+        self.intrinsics = dataset.intrinsics
+
+        self.model_coarse, self.model_fine = build_models_from_cfg(cfg)
+        train_flags = FeatureFlags.from_cfg(cfg)
+        state, _ = create_train_state(
+            jax.random.PRNGKey(0), self.model_coarse, self.model_fine, cfg,
+            train_flags, n_train=max(len(dataset.i_train), 1),
+            background=jnp.zeros((self.H, self.W, 3)),
+        )
+        if os.path.isdir(checkpoint):
+            state = ckpt_lib.load_checkpoint(checkpoint, state)
+        else:
+            state = ckpt_lib.import_torch_weights(
+                state, ckpt_lib.load_torch_checkpoint(checkpoint)
+            )
+        self.params_coarse = state.params["coarse"]
+        self.params_fine = state.params.get("fine")
+
+        background = state.params.get("background")
+        if background is None:
+            background = state.fixed_background
+        if self.flags.replace_background:
+            background = jnp.asarray(dataset.load_background())
+        if self.flags.no_background:
+            background = None
+        self.background = background
+
+        self.latent_codes = state.params.get("latent_codes")
+        self.idx_map = None
+        if self.latent_codes is not None:
+            try:
+                self.idx_map = dataset.load_index_map()
+            except FileNotFoundError:
+                pass
+
+        self.settings = RenderSettings.from_cfg(cfg, mode="validation")
+        self.fast_bbox = None
+        if self.settings.fast_eval:
+            bbs = np.asarray(dataset.bboxes)[np.asarray(dataset.i_test)]
+            self.fast_bbox = np.array(
+                [bbs[:, 0].min(), bbs[:, 1].max(),
+                 bbs[:, 2].min(), bbs[:, 3].max()], np.int32,
+            )
+            area = (
+                float(self.fast_bbox[1] - self.fast_bbox[0] + 1)
+                * float(self.fast_bbox[3] - self.fast_bbox[2] + 1)
+                / float(self.H * self.W)
+            )
+            self.settings = dataclasses.replace(
+                self.settings, fast_eval_capacity=min(1.0, area * 1.05)
+            )
+
+        # Request defaults come from the test split's first frame — the
+        # same frame the eval driver renders first.
+        i0 = int(np.asarray(dataset.i_test)[0]) if len(dataset.i_test) else 0
+        self._default_pose = np.asarray(dataset.poses[i0])
+        self._default_expression = np.asarray(dataset.expressions[i0])
+        self._log = log
+        self.requests_served = 0
+
+    # ------------------------------------------------------------------
+    def _frame_defaults(self, frame: Optional[int]):
+        """pose / expression / latent row for test-split frame `frame`."""
+        if frame is None:
+            pose, expr = self._default_pose, self._default_expression
+            frame = 0
+        else:
+            i_test = np.asarray(self.dataset.i_test)
+            if not 0 <= frame < len(i_test):
+                raise ValueError(
+                    f"frame {frame} out of range [0, {len(i_test)})"
+                )
+            idx = int(i_test[frame])
+            pose = np.asarray(self.dataset.poses[idx])
+            expr = np.asarray(self.dataset.expressions[idx])
+        latent_index = 0
+        if (
+            self.idx_map is not None
+            and frame < len(self.idx_map)
+            and self.idx_map[frame, 1] >= 0
+        ):
+            latent_index = int(self.idx_map[frame, 1])
+        return pose, expr, latent_index
+
+    def render(
+        self,
+        expression=None,
+        pose=None,
+        frame: Optional[int] = None,
+        latent_index: Optional[int] = None,
+        seed: int = 0,
+        maps=("rgb_fine",),
+    ) -> Dict[str, np.ndarray]:
+        """Render one frame; returns uint8 image maps keyed by name."""
+        bad = [m for m in maps if m not in _KNOWN_MAPS]
+        if bad:
+            raise ValueError(f"unknown maps {bad}; known: {_KNOWN_MAPS}")
+        d_pose, d_expr, d_latent = self._frame_defaults(frame)
+        pose = d_pose if pose is None else np.asarray(pose, np.float32).reshape(4, 4)
+        expression = (
+            d_expr if expression is None
+            else np.asarray(expression, np.float32)
+        )
+        if expression.shape != d_expr.shape:
+            raise ValueError(
+                f"expression shape {expression.shape} != {d_expr.shape}"
+            )
+        latent_code = None
+        if self.latent_codes is not None:
+            row = d_latent if latent_index is None else int(latent_index)
+            if not 0 <= row < len(self.latent_codes):
+                raise ValueError(
+                    f"latent_index {row} out of range "
+                    f"[0, {len(self.latent_codes)})"
+                )
+            latent_code = self.latent_codes[row]
+
+        out = render_full_frame(
+            self.model_coarse, self.model_fine,
+            self.params_coarse, self.params_fine,
+            self.H, self.W, self.intrinsics, pose[:3, :4], self.settings,
+            key=jax.random.PRNGKey(seed),
+            expressions=jnp.asarray(expression),
+            latent_code=latent_code,
+            background=self.background,
+            dtype=self.dtype,
+            mesh=self.mesh,
+            bbox=self.fast_bbox,
+        )
+        result: Dict[str, np.ndarray] = {}
+        for m in maps:
+            if m in ("rgb_fine", "rgb_coarse"):
+                src = out.get(m, out["rgb_coarse"])
+                result[m] = cast_to_image(np.asarray(src))
+            elif m == "disp":
+                src = out.get("disp_fine", out["disp_coarse"])
+                result[m] = cast_to_disparity_image(np.asarray(src))
+            elif m == "depth":
+                depth = np.asarray(out.get("depth_fine", out["depth_coarse"]))
+                lo, hi = float(depth.min()), float(depth.max())
+                scaled = (depth - lo) / max(hi - lo, 1e-8)
+                result[m] = (scaled * 255.0).astype(np.uint8)
+            elif m == "acc":
+                acc = np.clip(
+                    np.asarray(out.get("acc_fine", out["acc_coarse"])), 0, 1
+                )
+                result[m] = (acc * 255.0).astype(np.uint8)
+            elif m == "normals":
+                # Same inputs as the eval driver: disparity + bg_weight
+                # (`eval/driver.py` normals call).
+                disp = out.get("disp_fine", out["disp_coarse"])
+                normals = normal_map_from_depth(
+                    disp, jnp.asarray(self.intrinsics, jnp.float32),
+                    out["bg_weight"], clean=True,
+                )
+                result[m] = np.asarray(normals).astype(np.uint8)
+        self.requests_served += 1
+        return result
+
+    # ------------------------------------------------------------------
+    def handle(self, request: dict) -> dict:
+        """One request dict → one response dict (never raises)."""
+        try:
+            cmd = request.get("cmd")
+            if cmd == "ping":
+                return {
+                    "ok": True, "cmd": "ping",
+                    "H": self.H, "W": self.W,
+                    "n_test_frames": int(len(self.dataset.i_test)),
+                    "n_latent_codes": (
+                        int(len(self.latent_codes))
+                        if self.latent_codes is not None else 0
+                    ),
+                    "fast_eval": bool(self.settings.fast_eval),
+                    "requests_served": self.requests_served,
+                }
+            if cmd == "stop":
+                return {"ok": True, "cmd": "stop"}
+            if cmd is not None:
+                return {"ok": False, "error": f"unknown cmd {cmd!r}"}
+
+            maps = tuple(request.get("maps", ("rgb_fine",)))
+            t0 = time.time()
+            rendered = self.render(
+                expression=request.get("expression"),
+                pose=request.get("pose"),
+                frame=request.get("frame"),
+                latent_index=request.get("latent_index"),
+                seed=int(request.get("seed", 0)),
+                maps=maps,
+            )
+            # Sync before timing: the tunneled TPU backend returns async
+            # futures that block_until_ready does not cover.
+            for v in rendered.values():
+                np.asarray(v)
+            frame_ms = (time.time() - t0) * 1000.0
+
+            response: dict = {"ok": True, "frame_ms": round(frame_ms, 2)}
+            save = request.get("save")
+            if save:
+                from PIL import Image
+
+                saved = []
+                for name, img in rendered.items():
+                    path = f"{save}{name}.png"
+                    Image.fromarray(img).save(path)
+                    saved.append(path)
+                response["saved"] = saved
+            if request.get("encode") == "png_base64":
+                response["maps"] = {
+                    name: {
+                        "shape": list(img.shape),
+                        "png_base64": base64.b64encode(
+                            _encode_png(img)
+                        ).decode("ascii"),
+                    }
+                    for name, img in rendered.items()
+                }
+            return response
+        except Exception as e:  # serving loop must survive bad requests
+            return {"ok": False, "error": f"{type(e).__name__}: {e}"}
+
+    def serve_jsonl(self, in_stream, out_stream) -> int:
+        """Serve newline-delimited JSON until EOF or a stop command.
+
+        Returns the number of requests handled."""
+        handled = 0
+        for line in in_stream:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                request = json.loads(line)
+            except json.JSONDecodeError as e:
+                response = {"ok": False, "error": f"bad json: {e}"}
+            else:
+                response = self.handle(request)
+            out_stream.write(json.dumps(response) + "\n")
+            out_stream.flush()
+            handled += 1
+            if response.get("cmd") == "stop" and response.get("ok"):
+                break
+        return handled
+
+    def serve_tcp(self, host: str, port: int, max_requests=None) -> int:
+        """Serve the JSONL protocol over TCP (one chip → one server
+        process; connections are handled sequentially). Returns the
+        number of requests handled; `max_requests` bounds tests."""
+        handled = 0
+        with socket.create_server((host, port)) as srv:
+            if self._log:
+                print(
+                    f"[serve] listening on {host}:{srv.getsockname()[1]}",
+                    flush=True,
+                )
+            stop = False
+            while not stop and (max_requests is None or handled < max_requests):
+                conn, _ = srv.accept()
+                with conn, conn.makefile("rw", encoding="utf-8") as stream:
+                    for line in stream:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        try:
+                            response = self.handle(json.loads(line))
+                        except json.JSONDecodeError as e:
+                            response = {"ok": False, "error": f"bad json: {e}"}
+                        stream.write(json.dumps(response) + "\n")
+                        stream.flush()
+                        handled += 1
+                        if response.get("cmd") == "stop" and response.get("ok"):
+                            stop = True
+                            break
+                        if max_requests is not None and handled >= max_requests:
+                            break
+        return handled

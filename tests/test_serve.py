@@ -1,0 +1,243 @@
+"""Avatar serving tests: the resident render server over a trained
+checkpoint (`nerface_tpu/serve.py`). No reference counterpart —
+`eval_transformed_rays.py` is batch-only; the serving contract here is
+that every request renders through the SAME jitted path as batch eval."""
+
+import base64
+import io
+import json
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+from nerface_tpu.config import CfgNode
+from nerface_tpu.data.synthetic import make_synthetic_flame_dataset
+from nerface_tpu.serve import AvatarServer
+
+from test_eval_driver import _tiny_cfg
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from nerface_tpu.train.checkpoint import latest_checkpoint
+    from nerface_tpu.train.loop import train
+
+    tmp = tmp_path_factory.mktemp("serve")
+    ds = make_synthetic_flame_dataset(
+        str(tmp / "ds"), H=16, W=16, n_train=3, n_val=1, n_test=2,
+        num_samples=8,
+    )
+    cfg = _tiny_cfg(ds, str(tmp / "logs"))
+    train(cfg, log=False)
+    ckpt = latest_checkpoint(str(tmp / "logs" / "t"))
+    return AvatarServer(cfg, checkpoint=ckpt, log=False)
+
+
+class TestRender:
+    def test_default_render(self, server):
+        out = server.render()
+        assert set(out) == {"rgb_fine"}
+        assert out["rgb_fine"].shape == (16, 16, 3)
+        assert out["rgb_fine"].dtype == np.uint8
+
+    def test_all_maps(self, server):
+        out = server.render(
+            maps=("rgb_fine", "rgb_coarse", "disp", "depth", "acc", "normals")
+        )
+        for name in ("rgb_fine", "rgb_coarse"):
+            assert out[name].shape == (16, 16, 3)
+        for name in ("disp", "depth", "acc"):
+            assert out[name].shape == (16, 16)
+            assert out[name].dtype == np.uint8
+        assert out["normals"].ndim == 3 and out["normals"].shape[2] == 3
+
+    def test_matches_eval_renderer_defaults(self, server):
+        """frame=0 equals the no-argument default (same pose/expr/code)."""
+        a = server.render(seed=3)["rgb_fine"]
+        b = server.render(frame=0, seed=3)["rgb_fine"]
+        np.testing.assert_array_equal(a, b)
+
+    def test_expression_changes_output(self, server):
+        base = server.render(seed=0)["rgb_fine"]
+        expr = np.asarray(server._default_expression).copy()
+        expr += 1.0
+        moved = server.render(expression=expr, seed=0)["rgb_fine"]
+        assert not np.array_equal(base, moved)
+
+    def test_pose_override(self, server):
+        pose = np.asarray(server._default_pose).copy()
+        pose[:3, 3] += 0.25
+        out = server.render(pose=pose.reshape(-1).tolist())["rgb_fine"]
+        assert out.shape == (16, 16, 3)
+
+    def test_bad_inputs_raise(self, server):
+        with pytest.raises(ValueError):
+            server.render(frame=99)
+        with pytest.raises(ValueError):
+            server.render(expression=[1.0, 2.0])
+        with pytest.raises(ValueError):
+            server.render(maps=("rgb_fine", "nope"))
+        if server.latent_codes is not None:
+            with pytest.raises(ValueError):
+                server.render(latent_index=10**6)
+
+
+class TestHandle:
+    def test_ping(self, server):
+        r = server.handle({"cmd": "ping"})
+        assert r["ok"] and r["H"] == 16 and r["n_test_frames"] == 2
+
+    def test_unknown_cmd(self, server):
+        r = server.handle({"cmd": "reboot"})
+        assert not r["ok"] and "unknown cmd" in r["error"]
+
+    def test_render_request_saves_and_encodes(self, server, tmp_path):
+        prefix = str(tmp_path / "req_")
+        r = server.handle(
+            {"frame": 1, "save": prefix, "encode": "png_base64",
+             "maps": ["rgb_fine", "disp"]}
+        )
+        assert r["ok"] and r["frame_ms"] > 0
+        assert sorted(r["saved"]) == [f"{prefix}disp.png", f"{prefix}rgb_fine.png"]
+        # The inlined PNG decodes back to the rendered image exactly.
+        from PIL import Image
+
+        payload = r["maps"]["rgb_fine"]
+        png = base64.b64decode(payload["png_base64"])
+        decoded = np.asarray(Image.open(io.BytesIO(png)))
+        direct = server.render(frame=1, maps=("rgb_fine",))["rgb_fine"]
+        np.testing.assert_array_equal(decoded, direct)
+        assert payload["shape"] == list(direct.shape)
+
+    def test_bad_request_is_survivable(self, server):
+        r = server.handle({"frame": 12345})
+        assert not r["ok"] and "ValueError" in r["error"]
+        # ...and the server still works afterwards.
+        assert server.handle({"cmd": "ping"})["ok"]
+
+
+class TestServeLoops:
+    def test_jsonl_loop(self, server):
+        requests = "\n".join(
+            [
+                json.dumps({"cmd": "ping"}),
+                "not json at all",
+                json.dumps({"frame": 0}),
+                json.dumps({"cmd": "stop"}),
+                json.dumps({"cmd": "ping"}),  # after stop: never handled
+            ]
+        )
+        out = io.StringIO()
+        n = server.serve_jsonl(io.StringIO(requests), out)
+        lines = [json.loads(l) for l in out.getvalue().splitlines()]
+        assert n == 4 and len(lines) == 4
+        assert lines[0]["ok"] and lines[0]["cmd"] == "ping"
+        assert not lines[1]["ok"] and "bad json" in lines[1]["error"]
+        assert lines[2]["ok"] and lines[2]["frame_ms"] > 0
+        assert lines[3] == {"ok": True, "cmd": "stop"}
+
+    def test_tcp_loop(self, server):
+        # Ephemeral port: bind first, serve in a thread, connect, talk.
+        probe = socket.socket()
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
+        probe.close()
+
+        counts = {}
+        t = threading.Thread(
+            target=lambda: counts.setdefault(
+                "n", server.serve_tcp("127.0.0.1", port)
+            )
+        )
+        t.start()
+        deadline = 50
+        for _ in range(deadline):
+            try:
+                conn = socket.create_connection(("127.0.0.1", port), timeout=1)
+                break
+            except OSError:
+                import time
+
+                time.sleep(0.1)
+        with conn, conn.makefile("rw", encoding="utf-8") as stream:
+            stream.write(json.dumps({"cmd": "ping"}) + "\n")
+            stream.flush()
+            assert json.loads(stream.readline())["ok"]
+            stream.write(json.dumps({"frame": 1}) + "\n")
+            stream.flush()
+            assert json.loads(stream.readline())["frame_ms"] > 0
+            stream.write(json.dumps({"cmd": "stop"}) + "\n")
+            stream.flush()
+            assert json.loads(stream.readline())["cmd"] == "stop"
+        t.join(timeout=30)
+        assert not t.is_alive() and counts["n"] == 3
+
+
+class TestCli:
+    def test_parser(self):
+        from nerface_tpu.cli.serve import build_parser
+
+        args = build_parser().parse_args(
+            ["--config", "c.yml", "--checkpoint", "k", "--listen",
+             "0.0.0.0:7860", "--fast-eval", "--bf16", "--num-devices", "4"]
+        )
+        assert args.listen == "0.0.0.0:7860" and args.fast_eval and args.bf16
+        with pytest.raises(SystemExit):
+            # --stdio and --listen are mutually exclusive
+            build_parser().parse_args(
+                ["--config", "c", "--checkpoint", "k", "--stdio",
+                 "--listen", "h:1"]
+            )
+
+    def test_main_stdio(self, server, tmp_path, monkeypatch, capsys):
+        """Drive the CLI end-to-end in-process over stdio."""
+        import sys
+
+        from nerface_tpu.cli.serve import main
+
+        cfg_path = tmp_path / "cfg.yml"
+        cfg_path.write_text(server.cfg.dump())
+        ckpt = server.checkpoint
+        requests = json.dumps({"cmd": "ping"}) + "\n" + json.dumps(
+            {"cmd": "stop"}
+        ) + "\n"
+        monkeypatch.setattr(sys, "stdin", io.StringIO(requests))
+        main(["--config", str(cfg_path), "--checkpoint", ckpt, "--stdio"])
+        out_lines = [
+            json.loads(l)
+            for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")
+        ]
+        assert out_lines[0]["ok"] and out_lines[-1]["cmd"] == "stop"
+
+
+class TestFastEvalServing:
+    def test_fast_eval_server(self, tmp_path_factory):
+        """The production serving configuration: fast_eval on — bbox rays
+        must match the parity server bit-exactly (the fast-eval quality
+        contract, tests/test_fast_eval.py, extended to the serving path)."""
+        from nerface_tpu.train.checkpoint import latest_checkpoint
+        from nerface_tpu.train.loop import train
+
+        tmp = tmp_path_factory.mktemp("serve_fast")
+        ds = make_synthetic_flame_dataset(
+            str(tmp / "ds"), H=16, W=16, n_train=3, n_val=1, n_test=2,
+            num_samples=8,
+        )
+        cfg = _tiny_cfg(ds, str(tmp / "logs"))
+        train(cfg, log=False)
+        ckpt = latest_checkpoint(str(tmp / "logs" / "t"))
+
+        parity = AvatarServer(cfg, checkpoint=ckpt, log=False)
+        cfg.nerf.validation["fast_eval"] = True
+        fast = AvatarServer(cfg, checkpoint=ckpt, log=False)
+        assert fast.settings.fast_eval and fast.fast_bbox is not None
+
+        a = parity.render(frame=0, seed=1)["rgb_fine"]
+        b = fast.render(frame=0, seed=1)["rgb_fine"]
+        h0, h1, w0, w1 = [int(x) for x in fast.fast_bbox]
+        np.testing.assert_array_equal(
+            a[h0:h1 + 1, w0:w1 + 1], b[h0:h1 + 1, w0:w1 + 1]
+        )
