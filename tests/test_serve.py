@@ -213,6 +213,23 @@ class TestCli:
         assert out_lines[0]["ok"] and out_lines[-1]["cmd"] == "stop"
 
 
+class TestMeshServing:
+    def test_mesh_server_matches_single_device(self, server):
+        """Serving over the 8-device data mesh returns the single-device
+        frame bit-exactly (per-ray index-keyed RNG; same contract as
+        `test_sharded_eval.py` for batch eval)."""
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()), ("data",))
+        sharded = AvatarServer(
+            server.cfg, checkpoint=server.checkpoint, mesh=mesh, log=False,
+        )
+        a = server.render(frame=1, seed=7)["rgb_fine"]
+        b = sharded.render(frame=1, seed=7)["rgb_fine"]
+        np.testing.assert_array_equal(a, b)
+
+
 class TestFastEvalServing:
     def test_fast_eval_server(self, tmp_path_factory):
         """The production serving configuration: fast_eval on — bbox rays
