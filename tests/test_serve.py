@@ -138,6 +138,39 @@ class TestServeLoops:
         assert lines[2]["ok"] and lines[2]["frame_ms"] > 0
         assert lines[3] == {"ok": True, "cmd": "stop"}
 
+    def test_tcp_client(self, server):
+        """AvatarClient round-trip: the decoded PNG equals a direct
+        render through the same server object."""
+        from nerface_tpu.client import AvatarClient
+
+        probe = socket.socket()
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
+        probe.close()
+        t = threading.Thread(
+            target=server.serve_tcp, args=("127.0.0.1", port)
+        )
+        t.start()
+        import time
+
+        for _ in range(50):
+            try:
+                client = AvatarClient("127.0.0.1", port)
+                break
+            except OSError:
+                time.sleep(0.1)
+        with client:
+            assert client.ping()["H"] == 16
+            out = client.render(frame=1, seed=5, maps=("rgb_fine", "disp"))
+            direct = server.render(frame=1, seed=5, maps=("rgb_fine", "disp"))
+            np.testing.assert_array_equal(out["rgb_fine"], direct["rgb_fine"])
+            np.testing.assert_array_equal(out["disp"], direct["disp"])
+            with pytest.raises(RuntimeError):
+                client.render(frame=999)
+            client.stop_server()
+        t.join(timeout=30)
+        assert not t.is_alive()
+
     def test_tcp_loop(self, server):
         # Ephemeral port: bind first, serve in a thread, connect, talk.
         probe = socket.socket()
