@@ -29,6 +29,21 @@ from nerface_tpu.train.step import make_train_step
 from nerface_tpu.utils.tb import ScalarWriter
 
 
+def _host_rss_gb() -> float:
+    """Resident-set size of this process in GiB, from /proc (no psutil).
+
+    Returns 0.0 where /proc isn't available so the TB scalar is always
+    writable."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / (1024.0 * 1024.0)
+    except OSError:
+        pass
+    return 0.0
+
+
 def build_models_from_cfg(cfg):
     """Coarse + (optional) fine model, reproducing the reference's
     constructor quirks (fine model gets the *coarse* num_layers/hidden_size;
@@ -324,6 +339,12 @@ def train(
                 writer.scalar("train/fine_loss", m["fine_loss"], i)
                 writer.scalar("train/psnr", m["psnr"], i)
                 writer.scalar("train/rays_per_sec", rays_s, i)
+                # Host-RSS observability for long schedules: the
+                # tunneled backend leaks ~the per-step input batch per
+                # iteration (BENCH_NOTES.md "Paper-schedule run"); this
+                # scalar makes the growth visible so operators can plan
+                # a periodic checkpoint-resume before memory pressure.
+                writer.scalar("host/rss_gb", _host_rss_gb(), i)
                 if flags.train_latent_codes:
                     writer.scalar("train/code_loss", m["latent_code_loss"], i)
                 if flags.supervised_train_background:
