@@ -80,14 +80,37 @@ def load_checkpoint(path: str, state_template: TrainState) -> TrainState:
     )
 
 
+def checkpoint_step(path: str) -> int:
+    """Step number encoded in a `checkpoint{step}` basename (-1 if none).
+
+    Numeric, not lexical: `checkpoint{step:05d}` grows to 6 digits past
+    step 99999 (the reference's paper schedule runs to 1M), where string
+    order would rank `checkpoint100001` below `checkpoint95001`."""
+    digits = os.path.basename(path.rstrip("/"))[len("checkpoint"):]
+    return int(digits) if digits.isdigit() else -1
+
+
+def is_complete_checkpoint(path: str) -> bool:
+    """True once orbax has committed the save (metadata file present).
+
+    A process killed mid-save can leave a partial directory; restart
+    tooling must skip it or restoration fails."""
+    return os.path.isdir(path) and os.path.exists(
+        os.path.join(path, "_CHECKPOINT_METADATA")
+    )
+
+
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Highest-step COMPLETE `checkpoint{step}` directory under ckpt_dir."""
     if not os.path.isdir(ckpt_dir):
         return None
-    cands = sorted(
-        d for d in os.listdir(ckpt_dir)
-        if d.startswith("checkpoint") and os.path.isdir(os.path.join(ckpt_dir, d))
-    )
-    return os.path.join(ckpt_dir, cands[-1]) if cands else None
+    cands = [
+        os.path.join(ckpt_dir, d)
+        for d in os.listdir(ckpt_dir)
+        if d.startswith("checkpoint") and checkpoint_step(d) >= 0
+    ]
+    cands = [p for p in cands if is_complete_checkpoint(p)]
+    return max(cands, key=checkpoint_step) if cands else None
 
 
 # -- torch interop -----------------------------------------------------------

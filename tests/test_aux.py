@@ -123,3 +123,38 @@ class TestDumpRays:
         n = dump_rays(np.zeros((1, 3)), np.zeros((100, 4, 3)), rf,
                       path=str(tmp_path / "e.ply"))
         assert n == 0
+
+
+class TestLatestCheckpoint:
+    """`latest_checkpoint` must rank steps numerically (the paper schedule
+    crosses 99999 → 6-digit names break lexical order) and skip partial
+    saves (no orbax `_CHECKPOINT_METADATA` commit marker)."""
+
+    @staticmethod
+    def _mk(root, step, complete=True):
+        d = root / f"checkpoint{step:05d}"
+        d.mkdir()
+        if complete:
+            (d / "_CHECKPOINT_METADATA").write_text("{}")
+        return str(d)
+
+    def test_numeric_order_past_100k(self, tmp_path):
+        from nerface_tpu.train.checkpoint import latest_checkpoint
+
+        self._mk(tmp_path, 95001)
+        want = self._mk(tmp_path, 100001)
+        assert latest_checkpoint(str(tmp_path)) == want
+
+    def test_skips_partial_and_sidecars(self, tmp_path):
+        from nerface_tpu.train.checkpoint import latest_checkpoint
+
+        want = self._mk(tmp_path, 5001)
+        self._mk(tmp_path, 10001, complete=False)  # killed mid-save
+        (tmp_path / "checkpoint10001.metrics.json").write_text("{}")
+        assert latest_checkpoint(str(tmp_path)) == want
+
+    def test_empty_dir(self, tmp_path):
+        from nerface_tpu.train.checkpoint import latest_checkpoint
+
+        assert latest_checkpoint(str(tmp_path)) is None
+        assert latest_checkpoint(str(tmp_path / "missing")) is None
