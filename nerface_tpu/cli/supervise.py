@@ -1,0 +1,191 @@
+"""Supervised training — auto-restart from the latest checkpoint.
+
+Production wrapper around `nerface_tpu.cli.train` for long schedules (the
+reference's paper configs run 1M iterations,
+`dave_dvp_lcode_fixed_bg_512_paper_model.yml:10`): launches the train CLI
+as a child process, watches its host RSS, and bounces it — graceful stop,
+resume from the newest COMPLETE checkpoint — when it crosses a limit or
+crashes.  Motivation: the tunneled TPU backend leaks host memory at
+roughly the per-step input batch per iteration (BENCH_NOTES.md
+"Paper-schedule run"), so a full paper schedule needs one or two planned
+restarts; this makes them automatic instead of operator-driven.  Crash
+recovery (nonzero child exit → resume) comes free and covers the
+occasional tunneled-worker death.
+
+Usage:
+    python -m nerface_tpu.cli.supervise --rss-limit-gb 80 -- \
+        --config config/dave/...paper_model.yml --bf16
+
+Everything after `--` is handed to `nerface_tpu.cli.train` verbatim,
+except `--load-checkpoint`, which the supervisor owns: on every (re)launch
+it points the child at the newest complete checkpoint in the experiment
+logdir, falling back to the user's own `--load-checkpoint` (e.g. a
+reference torch .ckpt to warm-start from) only when the logdir has none.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import signal
+import subprocess
+import sys
+import time
+from typing import List, Optional
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
+    )
+    parser.add_argument(
+        "--rss-limit-gb", type=float, default=0.0,
+        help="Restart the child when its resident set exceeds this many "
+             "GiB (0 = never; crash recovery still applies).",
+    )
+    parser.add_argument(
+        "--poll-seconds", type=float, default=30.0,
+        help="RSS poll interval.",
+    )
+    parser.add_argument(
+        "--max-restarts", type=int, default=20,
+        help="Give up after this many restarts (limit + crash combined).",
+    )
+    parser.add_argument(
+        "--grace-seconds", type=float, default=30.0,
+        help="SIGTERM→SIGKILL escalation window on a limit stop.",
+    )
+    parser.add_argument(
+        "--child-module", type=str, default="nerface_tpu.cli.train",
+        help=argparse.SUPPRESS,  # test hook: module to run instead of train
+    )
+    parser.add_argument(
+        "train_args", nargs=argparse.REMAINDER,
+        help="-- followed by nerface_tpu.cli.train arguments.",
+    )
+    return parser
+
+
+def rss_gb(pid: int) -> Optional[float]:
+    """Resident set of `pid` in GiB via /proc (None if unreadable/gone)."""
+    try:
+        with open(f"/proc/{pid}/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / (1024.0 * 1024.0)
+    except OSError:
+        return None
+    return None
+
+
+def strip_load_checkpoint(train_args: List[str]) -> (List[str], str):
+    """Remove `--load-checkpoint [value]` from the arg list.
+
+    Returns (remaining_args, user_checkpoint). Handles both
+    `--load-checkpoint X` and `--load-checkpoint=X` spellings."""
+    out: List[str] = []
+    user_ckpt = ""
+    i = 0
+    while i < len(train_args):
+        a = train_args[i]
+        if a == "--load-checkpoint" and i + 1 < len(train_args):
+            user_ckpt = train_args[i + 1]
+            i += 2
+            continue
+        if a.startswith("--load-checkpoint="):
+            user_ckpt = a.split("=", 1)[1]
+            i += 1
+            continue
+        out.append(a)
+        i += 1
+    return out, user_ckpt
+
+
+def experiment_logdir(train_args: List[str]) -> str:
+    """<cfg.experiment.logdir>/<cfg.experiment.id> from the child's
+    --config (same derivation as train/loop.py:222)."""
+    cfg_path = ""
+    for i, a in enumerate(train_args):
+        if a == "--config" and i + 1 < len(train_args):
+            cfg_path = train_args[i + 1]
+        elif a.startswith("--config="):
+            cfg_path = a.split("=", 1)[1]
+    if not cfg_path:
+        raise SystemExit("supervise: no --config in train args")
+    from nerface_tpu.config import load_config
+
+    cfg = load_config(cfg_path)
+    return os.path.join(str(cfg.experiment.logdir), str(cfg.experiment.id))
+
+
+def child_argv(
+    module: str, train_args: List[str], logdir: str, user_ckpt: str
+) -> List[str]:
+    """Child command line with `--load-checkpoint` pointing at the newest
+    complete checkpoint (user's own warm-start checkpoint on first run)."""
+    from nerface_tpu.train.checkpoint import latest_checkpoint
+
+    ckpt = latest_checkpoint(logdir) or user_ckpt
+    argv = [sys.executable, "-m", module] + list(train_args)
+    if ckpt:
+        argv += ["--load-checkpoint", ckpt]
+    return argv
+
+
+def stop_child(proc: subprocess.Popen, grace_seconds: float) -> None:
+    """SIGTERM, wait up to grace_seconds, then SIGKILL.
+
+    SIGTERM lets the train CLI run its cleanup (`finally`: feed stop, TB
+    flush); a save in flight that dies anyway is handled by
+    `latest_checkpoint`'s commit-marker filter."""
+    proc.send_signal(signal.SIGTERM)
+    try:
+        proc.wait(timeout=grace_seconds)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.wait()
+
+
+def supervise(args) -> int:
+    train_args, user_ckpt = strip_load_checkpoint(
+        [a for a in args.train_args if a != "--"]
+    )
+    logdir = experiment_logdir(train_args)
+    restarts = 0
+    while True:
+        argv = child_argv(args.child_module, train_args, logdir, user_ckpt)
+        print(f"[SUPERVISE] launch (restart {restarts}): {' '.join(argv[2:])}",
+              flush=True)
+        proc = subprocess.Popen(argv)
+        limit_hit = False
+        while proc.poll() is None:
+            time.sleep(args.poll_seconds)
+            rss = rss_gb(proc.pid)
+            if args.rss_limit_gb > 0 and rss is not None and rss > args.rss_limit_gb:
+                print(
+                    f"[SUPERVISE] rss {rss:.1f} GiB > limit "
+                    f"{args.rss_limit_gb:.1f} GiB — recycling child",
+                    flush=True,
+                )
+                stop_child(proc, args.grace_seconds)
+                limit_hit = True
+                break
+        code = proc.returncode
+        if not limit_hit and code == 0:
+            print("[SUPERVISE] training complete", flush=True)
+            return 0
+        if not limit_hit:
+            print(f"[SUPERVISE] child exited {code} — restarting from "
+                  "latest checkpoint", flush=True)
+        restarts += 1
+        if restarts > args.max_restarts:
+            print("[SUPERVISE] max restarts exceeded — giving up", flush=True)
+            return 1
+
+
+def main(argv=None) -> None:
+    sys.exit(supervise(build_parser().parse_args(argv)))
+
+
+if __name__ == "__main__":
+    main()

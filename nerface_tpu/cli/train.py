@@ -65,6 +65,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="this process's id (0..num-processes-1).",
     )
     parser.add_argument(
+        "--platform", type=str, default=None,
+        choices=["cpu", "tpu", "axon"],
+        help="Force the JAX platform (e.g. 'cpu' for CI / debugging on a "
+             "TPU host). Default: whatever the environment provides.",
+    )
+    parser.add_argument(
         "--matmul-precision", type=str, default=None,
         choices=["default", "high", "highest"],
         help="XLA matmul precision. TPUs run f32 matmuls in bf16-multipass "
@@ -77,7 +83,21 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
 
+    # A supervisor (cli/supervise.py) stops us with SIGTERM; turn it into
+    # SystemExit so the loop's `finally` (feed stop, TB flush) runs before
+    # the process dies. 143 = 128+SIGTERM, the conventional code.
+    import signal
+    import sys as _sys
+
+    signal.signal(signal.SIGTERM, lambda *_: _sys.exit(143))
+
     import jax
+
+    if args.platform:
+        # Must precede any backend use (the image's sitecustomize only
+        # registers plugins at boot; backend init is lazy until the first
+        # device query, so this still takes effect here).
+        jax.config.update("jax_platforms", args.platform)
 
     if args.coordinator_address:
         # Must run before any backend use: joins this process's chips into
