@@ -158,18 +158,29 @@ def supervise(args) -> int:
               flush=True)
         proc = subprocess.Popen(argv)
         limit_hit = False
-        while proc.poll() is None:
-            time.sleep(args.poll_seconds)
-            rss = rss_gb(proc.pid)
-            if args.rss_limit_gb > 0 and rss is not None and rss > args.rss_limit_gb:
-                print(
-                    f"[SUPERVISE] rss {rss:.1f} GiB > limit "
-                    f"{args.rss_limit_gb:.1f} GiB — recycling child",
-                    flush=True,
-                )
-                stop_child(proc, args.grace_seconds)
-                limit_hit = True
-                break
+        try:
+            while proc.poll() is None:
+                time.sleep(args.poll_seconds)
+                rss = rss_gb(proc.pid)
+                if (
+                    args.rss_limit_gb > 0
+                    and rss is not None
+                    and rss > args.rss_limit_gb
+                ):
+                    print(
+                        f"[SUPERVISE] rss {rss:.1f} GiB > limit "
+                        f"{args.rss_limit_gb:.1f} GiB — recycling child",
+                        flush=True,
+                    )
+                    stop_child(proc, args.grace_seconds)
+                    limit_hit = True
+                    break
+        except BaseException:
+            # Supervisor interrupted/killed: take the child down too so a
+            # later relaunch doesn't find the TPU still owned.
+            print("[SUPERVISE] interrupted — stopping child", flush=True)
+            stop_child(proc, args.grace_seconds)
+            raise
         code = proc.returncode
         if not limit_hit and code == 0:
             print("[SUPERVISE] training complete", flush=True)

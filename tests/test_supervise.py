@@ -195,3 +195,42 @@ class TestSupervise:
 
         logdir = os.path.join(str(tmp_path / "logs"), "tiny")
         assert latest_checkpoint(logdir) is not None
+
+    def test_interrupt_stops_child(self, tmp_path):
+        """A killed supervisor must not orphan the child (the TPU stays
+        owned otherwise)."""
+        import signal
+        import subprocess as sp
+        import sys
+        import time
+
+        cfg = _write_cfg(tmp_path)
+        mod = _fake_child(
+            tmp_path,
+            """
+            open(os.path.join(logdir, "child.pid"), "w").write(str(os.getpid()))
+            time.sleep(120)
+            """,
+        )
+        sup = sp.Popen(
+            [sys.executable, "-m", "nerface_tpu.cli.supervise",
+             "--poll-seconds", "0.2", "--grace-seconds", "5",
+             "--child-module", mod, "--", "--config", cfg],
+            env=os.environ.copy(),
+        )
+        pid_f = tmp_path / "logs" / "sup" / "child.pid"
+        for _ in range(100):
+            if pid_f.exists():
+                break
+            time.sleep(0.2)
+        child_pid = int(pid_f.read_text())
+        sup.send_signal(signal.SIGINT)
+        sup.wait(timeout=30)
+        for _ in range(50):
+            try:
+                os.kill(child_pid, 0)
+            except ProcessLookupError:
+                return  # child is gone — pass
+            time.sleep(0.2)
+        os.kill(child_pid, signal.SIGKILL)
+        raise AssertionError("child survived supervisor interrupt")
