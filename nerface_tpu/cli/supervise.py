@@ -12,6 +12,17 @@ restarts; this makes them automatic instead of operator-driven.  Crash
 recovery (nonzero child exit → resume) comes free and covers the
 occasional tunneled-worker death.
 
+`--stall-timeout-seconds` additionally guards against *silent* hangs: a
+TPU-tunnel outage leaves the child blocked forever inside the runtime
+(observed in the round-3 paper run: the tunnel connection died mid-step
+and the process sat in a futex wait with flat RSS and exit code never
+coming — neither the RSS limit nor crash recovery fires).  Progress is
+read from the experiment logdir's newest file mtime (TB event appends
+every `print_every` iters, checkpoints every `save_every`), so no train
+CLI cooperation is needed; a child that writes nothing for the timeout
+is recycled.  SIGTERM cannot interrupt a futex-parked main thread, so
+the stop escalates to SIGKILL after `--grace-seconds`.
+
 Usage:
     python -m nerface_tpu.cli.supervise --rss-limit-gb 80 -- \
         --config config/dave/...paper_model.yml --bf16
@@ -48,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="RSS poll interval.",
     )
     parser.add_argument(
+        "--stall-timeout-seconds", type=float, default=0.0,
+        help="Restart the child when the experiment logdir sees no new "
+             "writes for this long (0 = never). Catches silent tunnel "
+             "hangs that neither crash nor grow RSS.",
+    )
+    parser.add_argument(
         "--max-restarts", type=int, default=20,
         help="Give up after this many restarts (limit + crash combined).",
     )
@@ -76,6 +93,22 @@ def rss_gb(pid: int) -> Optional[float]:
     except OSError:
         return None
     return None
+
+
+def newest_mtime(root: str) -> float:
+    """Most recent file mtime anywhere under `root` (0.0 if none).
+
+    The train child appends TB events every `print_every` iterations and
+    writes checkpoints every `save_every`, so this is a progress signal
+    that needs no cooperation from the child."""
+    latest = 0.0
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for name in filenames:
+            try:
+                latest = max(latest, os.stat(os.path.join(dirpath, name)).st_mtime)
+            except OSError:
+                continue
+    return latest
 
 
 def strip_load_checkpoint(train_args: List[str]) -> (List[str], str):
@@ -157,6 +190,7 @@ def supervise(args) -> int:
         print(f"[SUPERVISE] launch (restart {restarts}): {' '.join(argv[2:])}",
               flush=True)
         proc = subprocess.Popen(argv)
+        launched = time.time()
         limit_hit = False
         try:
             while proc.poll() is None:
@@ -175,6 +209,21 @@ def supervise(args) -> int:
                     stop_child(proc, args.grace_seconds)
                     limit_hit = True
                     break
+                if args.stall_timeout_seconds > 0:
+                    # launch time floors the signal so a fresh child gets
+                    # its full timeout to compile before the first write
+                    progress = max(launched, newest_mtime(logdir))
+                    idle = time.time() - progress
+                    if idle > args.stall_timeout_seconds:
+                        print(
+                            f"[SUPERVISE] no logdir writes for {idle:.0f}s "
+                            f"(> {args.stall_timeout_seconds:.0f}s) — child "
+                            "presumed hung, recycling",
+                            flush=True,
+                        )
+                        stop_child(proc, args.grace_seconds)
+                        limit_hit = True
+                        break
         except BaseException:
             # Supervisor interrupted/killed: take the child down too so a
             # later relaunch doesn't find the TPU still owned.

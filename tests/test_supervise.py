@@ -164,6 +164,41 @@ class TestSupervise:
         runs = (tmp_path / "logs" / "sup" / "runs.txt").read_text().splitlines()
         assert len(runs) == 2
 
+    def test_stall_timeout_recycles_hung_child(self, tmp_path):
+        """A child that stops writing to the logdir without exiting (the
+        observed tunnel-outage hang: futex-parked, flat RSS, no exit)
+        must be recycled by --stall-timeout-seconds."""
+        cfg = _write_cfg(tmp_path)
+        mod = _fake_child(
+            tmp_path,
+            """
+            if runs == 1:
+                time.sleep(120)  # hang: no writes, no exit, no RSS growth
+            sys.exit(0)
+            """,
+        )
+        # timeout must clear the interpreter's own startup (~3 s here:
+        # sitecustomize imports jax), or every launch dies mid-startup
+        rc = supervise(
+            _args(
+                ["--stall-timeout-seconds", "10", "--poll-seconds", "0.5",
+                 "--grace-seconds", "5", "--max-restarts", "3",
+                 "--child-module", mod, "--", "--config", cfg]
+            )
+        )
+        assert rc == 0
+        runs = (tmp_path / "logs" / "sup" / "runs.txt").read_text().splitlines()
+        assert len(runs) == 2
+
+    def test_newest_mtime(self, tmp_path):
+        from nerface_tpu.cli.supervise import newest_mtime
+
+        assert newest_mtime(str(tmp_path / "missing")) == 0.0
+        sub = tmp_path / "a" / "b"
+        sub.mkdir(parents=True)
+        (sub / "f.txt").write_text("x")
+        assert newest_mtime(str(tmp_path)) > 0.0
+
     def test_max_restarts_gives_up(self, tmp_path):
         cfg = _write_cfg(tmp_path)
         mod = _fake_child(tmp_path, "sys.exit(3)\n")
