@@ -121,7 +121,14 @@ def strip_load_checkpoint(train_args: List[str]) -> (List[str], str):
     i = 0
     while i < len(train_args):
         a = train_args[i]
-        if a == "--load-checkpoint" and i + 1 < len(train_args):
+        if a == "--load-checkpoint":
+            if i + 1 >= len(train_args):
+                # fail fast: passed through, it would collide with the
+                # supervisor-appended flag and argparse-error the child
+                # on every relaunch until max restarts burn out
+                raise SystemExit(
+                    "supervise: --load-checkpoint needs a value"
+                )
             user_ckpt = train_args[i + 1]
             i += 2
             continue

@@ -164,8 +164,13 @@ def _render_frame_fast_jit(
     inside = (ii >= h0) & (ii <= h1) & (jj >= w0) & (jj <= w1)
 
     # Stable sort puts active rays first in raster order; take `cap`.
+    # `cap` can exceed n (capacity ~1.0 rounded up to whole tiles on a
+    # frame whose ray count isn't tile-aligned) — resize wraps the order
+    # cyclically so `act` is always exactly `cap` long. Duplicate
+    # indices are harmless: the per-ray-index RNG renders a repeated ray
+    # identically, so the scatter writes the same value twice.
     order = jnp.argsort(~inside, stable=True)
-    act = order[:cap]
+    act = jnp.resize(order, (cap,))
 
     import dataclasses as _dc
 
@@ -248,7 +253,9 @@ def _render_frame_fast_sharded(
     jj = jnp.arange(n, dtype=jnp.int32) % width
     h0, h1, w0, w1 = bbox[0], bbox[1], bbox[2], bbox[3]
     inside = (ii >= h0) & (ii <= h1) & (jj >= w0) & (jj <= w1)
-    act = jnp.argsort(~inside, stable=True)[:cap]
+    # resize, not slice: cap may exceed n once rounded up to whole
+    # per-device tiles (see _render_frame_fast_jit)
+    act = jnp.resize(jnp.argsort(~inside, stable=True), (cap,))
 
     import dataclasses as _dc
 
@@ -256,8 +263,7 @@ def _render_frame_fast_sharded(
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(data_axis), P(), P(), P() if background is not None
-                  else P()),
+        in_specs=(P(data_axis), P(), P(), P()),
         out_specs=P(data_axis), check_vma=False,
     )
     def shard_fn(act_s, ro_f, rd_f, bg_f):

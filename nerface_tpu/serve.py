@@ -31,6 +31,10 @@ line; one JSON response per line. Fields (all optional unless noted):
    "seed": int                 — RNG stream for stratified samples
    "maps": ["rgb_fine", ...]   — any of rgb_fine/rgb_coarse/disp/depth/
                                  acc/normals (default ["rgb_fine"])
+   "fast_eval": bool           — override the server default per request.
+                                 The fast path's bbox is frozen from the
+                                 TEST-SPLIT poses; send false with novel
+                                 poses that may leave that region
    "save": "/path/prefix"      — write <prefix><map>.png per map
    "encode": "png_base64"      — inline the maps in the response
    "cmd": "ping" | "stop"}     — health check / shutdown
@@ -191,14 +195,19 @@ class AvatarServer:
             idx = int(i_test[frame])
             pose = np.asarray(self.dataset.poses[idx])
             expr = np.asarray(self.dataset.expressions[idx])
+        # Same latent-row selection as the eval driver (driver.py:282-286):
+        # the reference's pinned idx_map[10] under the default
+        # fix_latent_code_index flag, per-frame rows only when unpinned —
+        # so a served frame i is pixel-identical to batch eval's frame i.
         latent_index = 0
-        if (
-            self.idx_map is not None
-            and frame < len(self.idx_map)
-            and self.idx_map[frame, 1] >= 0
-        ):
-            latent_index = int(self.idx_map[frame, 1])
-        return pose, expr, latent_index
+        if self.idx_map is not None:
+            if self.flags.fix_latent_code_index:
+                latent_index = int(
+                    self.idx_map[min(10, len(self.idx_map) - 1), 1]
+                )
+            elif frame < len(self.idx_map) and self.idx_map[frame, 1] >= 0:
+                latent_index = int(self.idx_map[frame, 1])
+        return pose, expr, max(latent_index, 0)
 
     def render(
         self,
@@ -208,11 +217,30 @@ class AvatarServer:
         latent_index: Optional[int] = None,
         seed: int = 0,
         maps=("rgb_fine",),
+        fast_eval: Optional[bool] = None,
     ) -> Dict[str, np.ndarray]:
-        """Render one frame; returns uint8 image maps keyed by name."""
+        """Render one frame; returns uint8 image maps keyed by name.
+
+        `fast_eval=None` uses the server default.  The fast path's bbox
+        and capacity are frozen from the dataset's TEST-SPLIT poses — a
+        novel client pose that moves the head outside that union gets
+        its out-of-bbox rays composited to background.  Clients sending
+        novel poses should pass `fast_eval=False` to force the
+        full-frame parity renderer for that request (compiled once,
+        cached thereafter)."""
         bad = [m for m in maps if m not in _KNOWN_MAPS]
         if bad:
             raise ValueError(f"unknown maps {bad}; known: {_KNOWN_MAPS}")
+        settings, bbox = self.settings, self.fast_bbox
+        if fast_eval is not None and bool(fast_eval) != settings.fast_eval:
+            if fast_eval and bbox is None:
+                raise ValueError(
+                    "fast_eval requested but the server was built without "
+                    "it (cfg.nerf.validation.fast_eval false)"
+                )
+            settings = dataclasses.replace(settings, fast_eval=bool(fast_eval))
+            if not fast_eval:
+                bbox = None
         d_pose, d_expr, d_latent = self._frame_defaults(frame)
         pose = d_pose if pose is None else np.asarray(pose, np.float32).reshape(4, 4)
         expression = (
@@ -236,14 +264,14 @@ class AvatarServer:
         out = render_full_frame(
             self.model_coarse, self.model_fine,
             self.params_coarse, self.params_fine,
-            self.H, self.W, self.intrinsics, pose[:3, :4], self.settings,
+            self.H, self.W, self.intrinsics, pose[:3, :4], settings,
             key=jax.random.PRNGKey(seed),
             expressions=jnp.asarray(expression),
             latent_code=latent_code,
             background=self.background,
             dtype=self.dtype,
             mesh=self.mesh,
-            bbox=self.fast_bbox,
+            bbox=bbox,
         )
         result: Dict[str, np.ndarray] = {}
         for m in maps:
@@ -306,6 +334,7 @@ class AvatarServer:
                 latent_index=request.get("latent_index"),
                 seed=int(request.get("seed", 0)),
                 maps=maps,
+                fast_eval=request.get("fast_eval"),
             )
             # Sync before timing: the tunneled TPU backend returns async
             # futures that block_until_ready does not cover.

@@ -314,6 +314,11 @@ def train(
     start_iter = int(state.step)
     t_start = time.time()
     rays_per_step = int(cfg.nerf.train.num_random_rays)
+    if device_feed and mesh is not None:
+        # mesh device feed: every device draws its OWN num_random_rays
+        # (device_feed.py make_mesh_sampler), so a step consumes
+        # n_devices x num_random_rays rays
+        rays_per_step *= int(mesh.devices.size)
     metrics = {}
     try:
         for i in range(start_iter, train_iters):

@@ -119,6 +119,31 @@ class TestFastEval:
         assert (rgb[H - 1, W - 1] == 0).all()
         assert np.asarray(fast["acc_fine"])[H - 1, W - 1] == 0.0
 
+    def test_capacity_rounds_past_frame_size(self, setup):
+        """Regression: a near-full bbox on a frame whose ray count is not
+        tile-aligned rounds the capacity past H*W (round_up(256, 48) =
+        288); the packed index list must pad to capacity, not silently
+        truncate and break the tile reshape."""
+        model, pc, pf, intr, pose, expr, latent, bg = setup
+        common = dict(
+            key=jax.random.PRNGKey(3), expressions=expr,
+            latent_code=latent, background=bg,
+        )
+        full = render_full_frame(
+            model, model, pc, pf, H, W, intr, pose,
+            _settings(chunksize=48), **common,
+        )
+        full_bbox = np.array([0, H - 1, 0, W - 1], np.int32)
+        fast = render_full_frame(
+            model, model, pc, pf, H, W, intr, pose,
+            _settings(fast_eval=True, fast_eval_capacity=1.0, chunksize=48),
+            bbox=full_bbox, **common,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast["rgb_fine"]), np.asarray(full["rgb_fine"]),
+            rtol=1e-5, atol=1e-5,
+        )
+
     def test_from_cfg_reads_flags(self):
         from nerface_tpu.config import CfgNode
 
@@ -182,3 +207,25 @@ class TestFastEvalSharded:
                 np.asarray(sharded[k]), np.asarray(single[k]),
                 rtol=1e-5, atol=1e-5, err_msg=k,
             )
+
+    def test_mesh_capacity_rounds_past_frame_size(self, setup):
+        """Regression: per-device tile granularity (tile * n_dev) rounds
+        the capacity past H*W at even lower capacities than the
+        single-device path; the packed index list must pad, not crash."""
+        import jax
+        from jax.sharding import Mesh
+
+        n_dev = min(4, len(jax.devices()))
+        if n_dev < 2:
+            pytest.skip("needs >= 2 devices")
+        mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("data",))
+        model, pc, pf, intr, pose, expr, latent, bg = setup
+        # cap = round_up(0.9*256, 48*n_dev) > 256 for n_dev in {2, 4}
+        s = _settings(fast_eval=True, fast_eval_capacity=0.9, chunksize=48)
+        out = render_full_frame(
+            model, model, pc, pf, H, W, intr, pose, s, mesh=mesh,
+            key=jax.random.PRNGKey(5), expressions=expr,
+            latent_code=latent, background=bg,
+            bbox=np.array([0, H - 1, 0, W - 1], np.int32),
+        )
+        assert np.isfinite(np.asarray(out["rgb_fine"])).all()

@@ -59,6 +59,33 @@ class TestRender:
         b = server.render(frame=0, seed=3)["rgb_fine"]
         np.testing.assert_array_equal(a, b)
 
+    def test_latent_row_matches_eval_driver_pin(self, server):
+        """Default flags pin the latent row to idx_map[10] exactly like
+        the eval driver (the reference's 'USE THIS' pin,
+        eval/driver.py:282-286); per-frame rows only when unpinned."""
+        saved_map = server.idx_map
+        saved_pin = server.flags.fix_latent_code_index
+        try:
+            server.idx_map = np.stack(
+                [np.arange(12), np.arange(12) + 100], axis=1
+            )
+            assert server.flags.fix_latent_code_index  # reference default
+            assert server._frame_defaults(1)[2] == 110  # idx_map[10, 1]
+            server.flags.fix_latent_code_index = False
+            assert server._frame_defaults(1)[2] == 101  # idx_map[1, 1]
+        finally:
+            server.idx_map = saved_map
+            server.flags.fix_latent_code_index = saved_pin
+
+    def test_fast_eval_override(self, server):
+        """Per-request fast_eval: False is a no-op on a parity-mode
+        server; True errors when the server has no bbox to skip with."""
+        base = server.render(seed=2)["rgb_fine"]
+        same = server.render(seed=2, fast_eval=False)["rgb_fine"]
+        np.testing.assert_array_equal(base, same)
+        with pytest.raises(ValueError):
+            server.render(fast_eval=True)
+
     def test_expression_changes_output(self, server):
         base = server.render(seed=0)["rgb_fine"]
         expr = np.asarray(server._default_expression).copy()
@@ -153,12 +180,15 @@ class TestServeLoops:
         t.start()
         import time
 
+        client = None
         for _ in range(50):
             try:
                 client = AvatarClient("127.0.0.1", port)
                 break
             except OSError:
                 time.sleep(0.1)
+        if client is None:
+            pytest.fail(f"server on port {port} never accepted a connection")
         with client:
             assert client.ping()["H"] == 16
             out = client.render(frame=1, seed=5, maps=("rgb_fine", "disp"))
@@ -185,8 +215,8 @@ class TestServeLoops:
             )
         )
         t.start()
-        deadline = 50
-        for _ in range(deadline):
+        conn = None
+        for _ in range(50):
             try:
                 conn = socket.create_connection(("127.0.0.1", port), timeout=1)
                 break
@@ -194,6 +224,8 @@ class TestServeLoops:
                 import time
 
                 time.sleep(0.1)
+        if conn is None:
+            pytest.fail(f"server on port {port} never accepted a connection")
         with conn, conn.makefile("rw", encoding="utf-8") as stream:
             stream.write(json.dumps({"cmd": "ping"}) + "\n")
             stream.flush()

@@ -32,6 +32,12 @@ class TestArgSurgery:
         rest, ckpt = strip_load_checkpoint(["--config", "c.yml"])
         assert rest == ["--config", "c.yml"] and ckpt == ""
 
+    def test_strip_dangling_value_fails_fast(self):
+        """A bare trailing --load-checkpoint must error here, not
+        collide with the supervisor-appended flag on every relaunch."""
+        with pytest.raises(SystemExit):
+            strip_load_checkpoint(["--config", "c.yml", "--load-checkpoint"])
+
     def test_child_argv_prefers_logdir_latest(self, tmp_path):
         d = tmp_path / "checkpoint100001"
         d.mkdir()
