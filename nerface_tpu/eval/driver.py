@@ -232,6 +232,56 @@ def evaluate(
                 f"{H * W} rays"
             )
 
+    # Occupancy grid on top of fast-eval (nerf.validation.occupancy):
+    # the active set tightens from the bbox rectangle to rays that touch
+    # voxels where the trained field itself has density, and the
+    # capacity shrinks to the measured worst-case active fraction.
+    occ_grid = None
+    if settings.fast_eval and settings.occupancy:
+        import dataclasses as _dc
+
+        from nerface_tpu.eval import occupancy as occ_lib
+
+        lo, hi = occ_lib.ray_aabb(
+            render_poses, intrinsics, H, W, settings.near, settings.far
+        )
+        expr_sample = render_expressions[
+            np.linspace(
+                0, max(len(render_expressions) - 1, 0), num=8, dtype=np.int64
+            )
+        ]
+        occ_grid = occ_lib.build_occupancy_grid(
+            model_coarse, state.params["coarse"],
+            settings.encode_xyz, settings.encode_dir, lo, hi,
+            resolution=settings.occupancy_resolution,
+            expressions=list(expr_sample),
+            latent_code=(
+                np.asarray(latent_codes[0]) if use_latent_code else None
+            ),
+            sigma_threshold=occ_lib.default_sigma_threshold(
+                settings.near, settings.far, settings.num_coarse
+            ),
+            dilate=settings.occupancy_dilate,
+            dtype=dtype,
+        )
+        frac = occ_lib.active_fraction(
+            occ_grid, render_poses, intrinsics, H, W,
+            settings.near, settings.far, settings.occupancy_probes,
+        )
+        settings = _dc.replace(
+            settings,
+            fast_eval_capacity=min(
+                settings.fast_eval_capacity, min(1.0, frac * 1.1)
+            ),
+        )
+        if log:
+            print(
+                f"[fast-eval] occupancy grid "
+                f"{settings.occupancy_resolution}^3 "
+                f"({occ_grid.occupancy_fraction():.3f} occupied), active "
+                f"capacity {settings.fast_eval_capacity:.2f}"
+            )
+
     os.makedirs(savedir, exist_ok=True)
     os.makedirs(os.path.join(savedir, "normals"), exist_ok=True)
     if save_disparity_image:
@@ -299,6 +349,7 @@ def evaluate(
             dtype=dtype,
             mesh=mesh,
             bbox=fast_bbox,
+            occupancy=occ_grid,
         )
         rgb = out.get("rgb_fine", out["rgb_coarse"])
         disp = out.get("disp_fine", out["disp_coarse"])

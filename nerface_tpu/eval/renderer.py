@@ -109,6 +109,27 @@ def _render_frame_jit(
     return {k: _restore(v) for k, v in tiles.items()}
 
 
+def _active_mask(ro, rd, height, width, bbox, occupancy, settings):
+    """Which rays run the radiance field on the fast path: inside the
+    pixel bbox (2D) AND touching an occupied voxel (3D) — either test
+    alone when the other is absent."""
+    n = height * width
+    inside = jnp.ones((n,), bool)
+    if bbox is not None:
+        ii = jnp.arange(n, dtype=jnp.int32) // width   # pixel row
+        jj = jnp.arange(n, dtype=jnp.int32) % width    # pixel col
+        h0, h1, w0, w1 = bbox[0], bbox[1], bbox[2], bbox[3]
+        inside = (ii >= h0) & (ii <= h1) & (jj >= w0) & (jj <= w1)
+    if occupancy is not None:
+        from nerface_tpu.eval.occupancy import ray_occupancy_mask
+
+        inside = inside & ray_occupancy_mask(
+            occupancy, ro, rd, settings.near, settings.far,
+            settings.occupancy_probes,
+        )
+    return inside
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -130,9 +151,10 @@ def _render_frame_fast_jit(
     expressions,
     latent_code,
     background,  # (H*W, 3) or None
-    bbox,        # (4,) pixel [h0, h1, w0, w1]
+    bbox,        # (4,) pixel [h0, h1, w0, w1] or None
     tile: int,
     dtype,
+    occupancy=None,  # eval.occupancy.OccupancyGrid or None
 ) -> Dict[str, Any]:
     """Opt-in fast eval: only the rays inside the head bbox run the
     radiance field — everything outside composites directly to the
@@ -158,10 +180,9 @@ def _render_frame_fast_jit(
     ro = ro.reshape(n, 3)
     rd = rd.reshape(n, 3)
 
-    ii = jnp.arange(n, dtype=jnp.int32) // width   # pixel row
-    jj = jnp.arange(n, dtype=jnp.int32) % width    # pixel col
-    h0, h1, w0, w1 = bbox[0], bbox[1], bbox[2], bbox[3]
-    inside = (ii >= h0) & (ii <= h1) & (jj >= w0) & (jj <= w1)
+    inside = _active_mask(
+        ro, rd, height, width, bbox, occupancy, settings
+    )
 
     # Stable sort puts active rays first in raster order; take `cap`.
     # `cap` can exceed n (capacity ~1.0 rounded up to whole tiles on a
@@ -227,7 +248,7 @@ def _render_frame_fast_sharded(
     model_coarse, model_fine, params_coarse, params_fine,
     height, width, intrinsics, pose, settings, key,
     expressions, latent_code, background, bbox, tile, dtype,
-    mesh, data_axis,
+    mesh, data_axis, occupancy=None,
 ):
     """Fast eval over a data mesh: the active-ray capacity is sharded so
     every chip renders its block of the bbox rays (ray data stays
@@ -249,10 +270,7 @@ def _render_frame_fast_sharded(
     ro = ro.reshape(n, 3)
     rd = rd.reshape(n, 3)
 
-    ii = jnp.arange(n, dtype=jnp.int32) // width
-    jj = jnp.arange(n, dtype=jnp.int32) % width
-    h0, h1, w0, w1 = bbox[0], bbox[1], bbox[2], bbox[3]
-    inside = (ii >= h0) & (ii <= h1) & (jj >= w0) & (jj <= w1)
+    inside = _active_mask(ro, rd, height, width, bbox, occupancy, settings)
     # resize, not slice: cap may exceed n once rounded up to whole
     # per-device tiles (see _render_frame_fast_jit)
     act = jnp.resize(jnp.argsort(~inside, stable=True), (cap,))
@@ -334,6 +352,7 @@ def render_full_frame(
     mesh: Optional[jax.sharding.Mesh] = None,
     data_axis: str = "data",
     bbox: Optional[jnp.ndarray] = None,
+    occupancy=None,
 ) -> Dict[str, jnp.ndarray]:
     """Render one full frame; returns image-shaped maps
     (rgb_coarse/rgb_fine (H,W,3), disp/acc/depth (H,W), bg_weight (H,W)).
@@ -346,7 +365,10 @@ def render_full_frame(
 
     With `settings.fast_eval` and a pixel `bbox` [h0, h1, w0, w1], only
     bbox rays run the radiance field — single-device or sharded over the
-    mesh (each chip renders its block of the active-ray capacity).
+    mesh (each chip renders its block of the active-ray capacity). An
+    `occupancy` grid (`eval/occupancy.OccupancyGrid`) tightens the
+    active set to rays that touch occupied voxels (combined with the
+    bbox when both are given; either alone works).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -359,21 +381,22 @@ def render_full_frame(
         else None
     )
     if (
-        settings.fast_eval and bbox is not None
+        settings.fast_eval and (bbox is not None or occupancy is not None)
         and abl is None and settings.no_ndc
     ):
+        bbox_a = jnp.asarray(bbox, jnp.int32) if bbox is not None else None
         if mesh is not None:
             return _render_frame_fast_sharded(
                 model_coarse, model_fine, params_coarse, params_fine,
                 height, width, jnp.asarray(intrinsics), jnp.asarray(pose),
                 settings, key, expressions, latent_code, bg,
-                jnp.asarray(bbox, jnp.int32), tile, dtype, mesh, data_axis,
+                bbox_a, tile, dtype, mesh, data_axis, occupancy,
             )
         return _render_frame_fast_jit(
             model_coarse, model_fine, params_coarse, params_fine,
             height, width, jnp.asarray(intrinsics), jnp.asarray(pose),
             settings, key, expressions, latent_code, bg,
-            jnp.asarray(bbox, jnp.int32), tile, dtype,
+            bbox_a, tile, dtype, occupancy,
         )
     if mesh is not None:
         return _render_frame_sharded(

@@ -97,6 +97,15 @@ class RenderSettings:
     # recorded speed/PSNR deltas live in BENCH_NOTES.md.
     fast_eval: bool = False
     fast_eval_capacity: float = 0.6
+    # Occupancy-grid ray skipping on top of fast_eval (eval/occupancy.py):
+    # `occupancy` turns it on (the eval driver builds the grid from the
+    # trained field at startup), `occupancy_resolution` is the voxel grid
+    # side, `occupancy_probes` the per-ray test points, and
+    # `occupancy_dilate` the conservative dilation steps.
+    occupancy: bool = False
+    occupancy_resolution: int = 64
+    occupancy_probes: int = 128
+    occupancy_dilate: int = 1
 
     @classmethod
     def from_cfg(cls, cfg, mode: str = "train") -> "RenderSettings":
@@ -128,6 +137,10 @@ class RenderSettings:
             chunksize=int(node.chunksize),
             fast_eval=bool(node.get("fast_eval", False)),
             fast_eval_capacity=float(node.get("fast_eval_capacity", 0.6)),
+            occupancy=bool(node.get("occupancy", False)),
+            occupancy_resolution=int(node.get("occupancy_resolution", 64)),
+            occupancy_probes=int(node.get("occupancy_probes", 128)),
+            occupancy_dilate=int(node.get("occupancy_dilate", 1)),
         )
 
 

@@ -157,6 +157,7 @@ class AvatarServer:
 
         self.settings = RenderSettings.from_cfg(cfg, mode="validation")
         self.fast_bbox = None
+        self.occupancy = None
         if self.settings.fast_eval:
             bbs = np.asarray(dataset.bboxes)[np.asarray(dataset.i_test)]
             self.fast_bbox = np.array(
@@ -171,6 +172,51 @@ class AvatarServer:
             self.settings = dataclasses.replace(
                 self.settings, fast_eval_capacity=min(1.0, area * 1.05)
             )
+            if self.settings.occupancy:
+                # same grid + capacity sizing as the eval driver — note
+                # the serving caveat in render(): novel poses outside the
+                # test split's region should send fast_eval=false
+                from nerface_tpu.eval import occupancy as occ_lib
+
+                i_test = np.asarray(dataset.i_test)
+                poses = np.asarray(dataset.poses)[i_test]
+                exprs = np.asarray(dataset.expressions)[i_test]
+                lo, hi = occ_lib.ray_aabb(
+                    poses, self.intrinsics, self.H, self.W,
+                    self.settings.near, self.settings.far,
+                )
+                sample = exprs[np.linspace(
+                    0, max(len(exprs) - 1, 0), num=8, dtype=np.int64
+                )]
+                self.occupancy = occ_lib.build_occupancy_grid(
+                    self.model_coarse, self.params_coarse,
+                    self.settings.encode_xyz, self.settings.encode_dir,
+                    lo, hi,
+                    resolution=self.settings.occupancy_resolution,
+                    expressions=list(sample),
+                    latent_code=(
+                        np.asarray(self.latent_codes[0])
+                        if self.latent_codes is not None else None
+                    ),
+                    sigma_threshold=occ_lib.default_sigma_threshold(
+                        self.settings.near, self.settings.far,
+                        self.settings.num_coarse,
+                    ),
+                    dilate=self.settings.occupancy_dilate,
+                    dtype=self.dtype,
+                )
+                frac = occ_lib.active_fraction(
+                    self.occupancy, poses, self.intrinsics, self.H, self.W,
+                    self.settings.near, self.settings.far,
+                    self.settings.occupancy_probes,
+                )
+                self.settings = dataclasses.replace(
+                    self.settings,
+                    fast_eval_capacity=min(
+                        self.settings.fast_eval_capacity,
+                        min(1.0, frac * 1.1),
+                    ),
+                )
 
         # Request defaults come from the test split's first frame — the
         # same frame the eval driver renders first.
@@ -231,7 +277,7 @@ class AvatarServer:
         bad = [m for m in maps if m not in _KNOWN_MAPS]
         if bad:
             raise ValueError(f"unknown maps {bad}; known: {_KNOWN_MAPS}")
-        settings, bbox = self.settings, self.fast_bbox
+        settings, bbox, occ = self.settings, self.fast_bbox, self.occupancy
         if fast_eval is not None and bool(fast_eval) != settings.fast_eval:
             if fast_eval and bbox is None:
                 raise ValueError(
@@ -241,6 +287,7 @@ class AvatarServer:
             settings = dataclasses.replace(settings, fast_eval=bool(fast_eval))
             if not fast_eval:
                 bbox = None
+                occ = None
         d_pose, d_expr, d_latent = self._frame_defaults(frame)
         pose = d_pose if pose is None else np.asarray(pose, np.float32).reshape(4, 4)
         expression = (
@@ -272,6 +319,7 @@ class AvatarServer:
             dtype=self.dtype,
             mesh=self.mesh,
             bbox=bbox,
+            occupancy=occ,
         )
         result: Dict[str, np.ndarray] = {}
         for m in maps:

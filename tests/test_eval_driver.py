@@ -216,3 +216,23 @@ class TestFastEvalThroughDriver:
         img = np.array(Image.open(os.path.join(savedir, "0000.png")))
         assert img.shape == (16, 16, 3)
         assert np.isfinite(img).all()
+
+    def test_occupancy_config_renders(self, trained, tmp_path):
+        """`nerf.validation.occupancy: True` through the full driver:
+        grid build from the trained field + capacity from the measured
+        active fraction + the occupancy-masked fast renderer."""
+        import copy
+
+        cfg, ckpt, tmp = trained
+        cfg2 = copy.deepcopy(cfg)
+        cfg2.nerf.validation["fast_eval"] = True
+        cfg2.nerf.validation["occupancy"] = True
+        cfg2.nerf.validation["occupancy_resolution"] = 16
+        savedir = str(tmp_path / "occ_renders")
+        summary = evaluate(cfg2, ckpt, savedir, EvalFlags(), log=False)
+        assert summary["frames"] == 2.0
+        from PIL import Image
+
+        img = np.array(Image.open(os.path.join(savedir, "0000.png")))
+        assert img.shape == (16, 16, 3)
+        assert np.isfinite(img).all()

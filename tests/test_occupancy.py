@@ -1,0 +1,325 @@
+"""Occupancy-grid ray skipping (`eval/occupancy.py` + the fast-eval
+integration in `eval/renderer.py`).
+
+Quality contract (same as the bbox fast path it extends): rays the grid
+keeps render bit-identically to the parity renderer; rays it skips
+composite to the exact background. The reference renders every ray
+(`eval_transformed_rays.py:449-467`) — this mode is opt-in and off the
+parity path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nerface_tpu.eval.occupancy import (
+    OccupancyGrid,
+    active_fraction,
+    build_occupancy_grid,
+    default_sigma_threshold,
+    ray_aabb,
+    ray_occupancy_mask,
+)
+from nerface_tpu.eval.renderer import render_full_frame
+from nerface_tpu.models import MODELS
+from nerface_tpu.ops.rays import get_ray_bundle
+from nerface_tpu.render.pipeline import EncodeSpec, RenderSettings
+
+H = W = 16
+NEAR, FAR = 0.2, 0.8
+
+
+def _unit_grid(occupied):
+    """8^3 grid over [0,1]^3 with the given voxel-index list occupied."""
+    g = np.zeros((8, 8, 8), bool)
+    for v in occupied:
+        g[v] = True
+    return OccupancyGrid(
+        jnp.asarray(g), jnp.zeros(3, jnp.float32), jnp.ones(3, jnp.float32)
+    )
+
+
+class TestMask:
+    def test_single_voxel_hit_and_miss(self):
+        occ = _unit_grid([(4, 4, 4)])  # voxel center (0.5625, ...)
+        ro = jnp.asarray([[0.5625, 0.5625, 0.0], [0.9, 0.9, 0.0]])
+        rd = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+        m = ray_occupancy_mask(occ, ro, rd, 0.0, 1.0, n_probes=64)
+        assert bool(m[0]) and not bool(m[1])
+
+    def test_outside_aabb_never_hits(self):
+        occ = _unit_grid([(0, 0, 0)])
+        ro = jnp.asarray([[5.0, 5.0, 5.0]])
+        rd = jnp.asarray([[0.0, 0.0, 1.0]])
+        assert not bool(ray_occupancy_mask(occ, ro, rd, 0.0, 1.0, 64)[0])
+
+    def test_all_occupied_keeps_in_box_rays(self):
+        occ = _unit_grid([tuple(v) for v in np.ndindex(8, 8, 8)])
+        ro = jnp.asarray([[0.5, 0.5, 0.1], [3.0, 3.0, 3.0]])
+        rd = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+        m = ray_occupancy_mask(occ, ro, rd, 0.0, 0.5, 64)
+        assert bool(m[0]) and not bool(m[1])
+
+
+class TestAabbAndThreshold:
+    def test_ray_aabb_contains_sample_points(self):
+        pose = np.eye(4, dtype=np.float32)
+        intr = np.array([20.0, 20.0, 0.5, 0.5], np.float32)
+        lo, hi = ray_aabb(pose[None], intr, H, W, NEAR, FAR)
+        ro, rd = get_ray_bundle(
+            H, W, jnp.asarray(intr), jnp.asarray(pose[:3, :4])
+        )
+        for t in (NEAR, 0.5 * (NEAR + FAR), FAR):
+            p = np.asarray(ro + t * rd).reshape(-1, 3)
+            assert (p >= lo - 1e-5).all() and (p <= hi + 1e-5).all()
+
+    def test_default_sigma_threshold(self):
+        # alpha(sigma_thr * dz) == 1e-2 by construction
+        thr = default_sigma_threshold(NEAR, FAR, num_coarse=6)
+        dz = (FAR - NEAR) / 6
+        assert np.isclose(1.0 - np.exp(-thr * dz), 1e-2, rtol=1e-6)
+
+
+class _BallField:
+    """Fake model: density 100 inside a ball at `center`, 0 outside
+    (occupancy-builder mechanics without training a field)."""
+
+    takes_expression = False
+    takes_latent = False
+
+    def __init__(self, center, radius):
+        self.center = jnp.asarray(center, jnp.float32)
+        self.radius = float(radius)
+
+    def apply(self, params, pe_xyz, pe_dir, expr=None, latent=None,
+              dtype=None):
+        xyz = pe_xyz[..., :3]
+        d = jnp.linalg.norm(xyz - self.center, axis=-1, keepdims=True)
+        sigma = jnp.where(d < self.radius, 100.0, 0.0)
+        return jnp.concatenate(
+            [jnp.zeros(sigma.shape[:-1] + (3,)), sigma], axis=-1
+        )
+
+
+class TestBuilder:
+    def test_ball_marks_expected_voxels(self):
+        model = _BallField([0.5, 0.5, 0.5], 0.2)
+        occ = build_occupancy_grid(
+            model, {}, EncodeSpec(0, True, True), None,
+            np.zeros(3, np.float32), np.ones(3, np.float32),
+            resolution=16, sigma_threshold=1.0, dilate=0, chunk=1024,
+        )
+        g = np.asarray(occ.grid)
+        assert g[8, 8, 8]            # ball center
+        assert not g[0, 0, 0]        # corner
+        frac = occ.occupancy_fraction()
+        # ball volume 4/3 pi 0.2^3 = 0.0335 of the cube
+        assert 0.01 < frac < 0.10
+
+    def test_dilate_grows_the_set(self):
+        model = _BallField([0.5, 0.5, 0.5], 0.2)
+        kw = dict(
+            resolution=16, sigma_threshold=1.0, chunk=1024,
+        )
+        base = build_occupancy_grid(
+            model, {}, EncodeSpec(0, True, True), None,
+            np.zeros(3, np.float32), np.ones(3, np.float32), dilate=0, **kw
+        )
+        fat = build_occupancy_grid(
+            model, {}, EncodeSpec(0, True, True), None,
+            np.zeros(3, np.float32), np.ones(3, np.float32), dilate=1, **kw
+        )
+        b, f = np.asarray(base.grid), np.asarray(fat.grid)
+        assert (f | b == f).all() and f.sum() > b.sum()
+
+    def test_expression_max_pools(self):
+        """Occupied under ANY sampled expression stays occupied."""
+
+        class _ExprBall(_BallField):
+            takes_expression = True
+
+            def apply(self, params, pe_xyz, pe_dir, expr=None, latent=None,
+                      dtype=None):
+                xyz = pe_xyz[..., :3]
+                center = self.center + jnp.asarray(
+                    [expr[0], 0.0, 0.0], jnp.float32
+                )
+                d = jnp.linalg.norm(xyz - center, axis=-1, keepdims=True)
+                sigma = jnp.where(d < self.radius, 100.0, 0.0)
+                return jnp.concatenate(
+                    [jnp.zeros(sigma.shape[:-1] + (3,)), sigma], axis=-1
+                )
+
+        model = _ExprBall([0.3, 0.5, 0.5], 0.15)
+        occ = build_occupancy_grid(
+            model, {}, EncodeSpec(0, True, True), None,
+            np.zeros(3, np.float32), np.ones(3, np.float32),
+            resolution=16,
+            expressions=[np.zeros(4, np.float32),
+                         np.array([0.4, 0, 0, 0], np.float32)],
+            sigma_threshold=1.0, dilate=0, chunk=1024,
+        )
+        g = np.asarray(occ.grid)
+        assert g[int(0.3 * 16), 8, 8] and g[int(0.7 * 16), 8, 8]
+
+    def test_save_load_roundtrip(self, tmp_path):
+        occ = _unit_grid([(1, 2, 3)])
+        p = str(tmp_path / "occ.npz")
+        occ.save(p)
+        back = OccupancyGrid.load(p)
+        assert (np.asarray(back.grid) == np.asarray(occ.grid)).all()
+        assert np.allclose(np.asarray(back.aabb_hi), 1.0)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = MODELS["ConditionalBlendshapePaperNeRFModel"](
+        num_encoding_fn_xyz=4, num_encoding_fn_dir=2
+    )
+    kc, kf = jax.random.split(jax.random.PRNGKey(0))
+    params_c, params_f = model.init(kc), model.init(kf)
+    rng = np.random.RandomState(0)
+    intr = np.array([20.0, 20.0, 0.5, 0.5], np.float32)
+    pose = np.eye(4, dtype=np.float32)[:3, :4]
+    expr = jnp.asarray(rng.randn(76).astype(np.float32) * 0.1)
+    latent = jnp.zeros((32,), jnp.float32)
+    bg = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))
+    return model, params_c, params_f, intr, pose, expr, latent, bg
+
+
+def _settings(**kw):
+    kw.setdefault("chunksize", 64)
+    return RenderSettings(
+        num_coarse=6, num_fine=6, perturb=True,
+        radiance_field_noise_std=0.1, near=NEAR, far=FAR,
+        encode_xyz=EncodeSpec(4, True, True),
+        encode_dir=EncodeSpec(2, False, True),
+        **kw,
+    )
+
+
+class TestRendererIntegration:
+    def test_kept_rays_match_parity_skipped_are_background(self, setup):
+        """An occupancy grid covering only part of the frustum: kept rays
+        == parity renderer bit-for-bit, skipped rays == background."""
+        model, pc, pf, intr, pose, expr, latent, bg = setup
+        lo, hi = ray_aabb(
+            np.eye(4, dtype=np.float32)[None], intr, H, W, NEAR, FAR
+        )
+        # occupy only the left half of the volume (x below the midpoint)
+        res = 8
+        g = np.zeros((res, res, res), bool)
+        g[: res // 2] = True
+        occ = OccupancyGrid(
+            jnp.asarray(g), jnp.asarray(lo), jnp.asarray(hi)
+        )
+        key = jax.random.PRNGKey(3)
+        common = dict(
+            key=key, expressions=expr, latent_code=latent, background=bg,
+        )
+        full = render_full_frame(
+            model, model, pc, pf, H, W, intr, pose, _settings(), **common
+        )
+        s = _settings(fast_eval=True, fast_eval_capacity=0.7)
+        fast = render_full_frame(
+            model, model, pc, pf, H, W, intr, pose, s,
+            occupancy=occ, **common,
+        )
+        ro, rd = get_ray_bundle(
+            H, W, jnp.asarray(intr), jnp.asarray(pose)
+        )
+        kept = np.asarray(
+            ray_occupancy_mask(
+                occ, ro.reshape(-1, 3), rd.reshape(-1, 3), NEAR, FAR,
+                s.occupancy_probes,
+            )
+        ).reshape(H, W)
+        assert 0 < kept.sum() < H * W  # the split is non-trivial
+        a = np.asarray(full["rgb_fine"])
+        b = np.asarray(fast["rgb_fine"])
+        np.testing.assert_allclose(b[kept], a[kept], rtol=1e-5, atol=1e-5)
+        # non-kept rays: skipped slots are the exact background; spare
+        # capacity slots hold real renders (== the parity renderer) —
+        # same contract as the bbox fast path
+        out_b, out_a = b[~kept], a[~kept]
+        out_bg = np.asarray(bg)[~kept]
+        is_bg = np.isclose(out_b, out_bg, atol=1e-6).all(axis=-1)
+        is_real = np.isclose(out_b, out_a, rtol=1e-4, atol=1e-4).all(axis=-1)
+        assert (is_bg | is_real).all()
+        assert is_bg.sum() > 0  # some rays really were skipped
+
+    def test_bbox_and_occupancy_intersect(self, setup):
+        """With both: a ray must pass BOTH tests to render."""
+        model, pc, pf, intr, pose, expr, latent, bg = setup
+        lo, hi = ray_aabb(
+            np.eye(4, dtype=np.float32)[None], intr, H, W, NEAR, FAR
+        )
+        g = np.ones((8, 8, 8), bool)
+        occ = OccupancyGrid(jnp.asarray(g), jnp.asarray(lo), jnp.asarray(hi))
+        bbox = np.array([4, 11, 3, 12], np.int32)
+        s = _settings(fast_eval=True, fast_eval_capacity=0.6)
+        common = dict(
+            key=jax.random.PRNGKey(3), expressions=expr,
+            latent_code=latent, background=bg,
+        )
+        both = render_full_frame(
+            model, model, pc, pf, H, W, intr, pose, s,
+            bbox=bbox, occupancy=occ, **common,
+        )
+        bbox_only = render_full_frame(
+            model, model, pc, pf, H, W, intr, pose, s,
+            bbox=bbox, **common,
+        )
+        # an all-occupied grid changes nothing vs the bbox-only path
+        np.testing.assert_allclose(
+            np.asarray(both["rgb_fine"]), np.asarray(bbox_only["rgb_fine"]),
+            rtol=1e-6, atol=1e-6,
+        )
+
+    def test_active_fraction_sizes_capacity(self, setup):
+        _, _, _, intr, pose, _, _, _ = setup
+        lo, hi = ray_aabb(
+            np.eye(4, dtype=np.float32)[None], intr, H, W, NEAR, FAR
+        )
+        all_occ = OccupancyGrid(
+            jnp.ones((8, 8, 8), bool), jnp.asarray(lo), jnp.asarray(hi)
+        )
+        none_occ = OccupancyGrid(
+            jnp.zeros((8, 8, 8), bool), jnp.asarray(lo), jnp.asarray(hi)
+        )
+        poses = np.eye(4, dtype=np.float32)[None]
+        hi_frac = active_fraction(
+            all_occ, poses, intr, H, W, NEAR, FAR
+        )
+        lo_frac = active_fraction(
+            none_occ, poses, intr, H, W, NEAR, FAR
+        )
+        assert hi_frac > 0.95 and lo_frac == 0.0
+
+    def test_settings_from_cfg(self):
+        from nerface_tpu.config import CfgNode
+
+        cfg = CfgNode({
+            "dataset": {"near": 0.2, "far": 0.8, "no_ndc": True},
+            "models": {"coarse": {
+                "num_encoding_fn_xyz": 4, "include_input_xyz": True,
+                "log_sampling_xyz": True, "use_viewdirs": True,
+                "num_encoding_fn_dir": 2, "include_input_dir": False,
+                "log_sampling_dir": True,
+            }},
+            "nerf": {
+                "use_viewdirs": True,
+                "validation": {
+                    "num_coarse": 8, "num_fine": 8, "perturb": False,
+                    "radiance_field_noise_std": 0.0,
+                    "white_background": False, "lindisp": False,
+                    "chunksize": 1024, "fast_eval": True,
+                    "occupancy": True, "occupancy_resolution": 32,
+                    "occupancy_probes": 96, "occupancy_dilate": 2,
+                },
+            },
+        })
+        s = RenderSettings.from_cfg(cfg, mode="validation")
+        assert s.occupancy and s.occupancy_resolution == 32
+        assert s.occupancy_probes == 96 and s.occupancy_dilate == 2

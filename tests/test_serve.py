@@ -6,6 +6,7 @@ that every request renders through the SAME jitted path as batch eval."""
 import base64
 import io
 import json
+import os
 import socket
 import threading
 
@@ -76,6 +77,28 @@ class TestRender:
         finally:
             server.idx_map = saved_map
             server.flags.fix_latent_code_index = saved_pin
+
+    def test_occupancy_server_renders(self, server, tmp_path):
+        """A server built with occupancy fast-eval: grid built from the
+        trained field at startup, frames render finite, and a
+        fast_eval=False request still forces the parity path."""
+        import copy
+
+        from nerface_tpu.train.checkpoint import latest_checkpoint
+
+        cfg = copy.deepcopy(server.cfg)
+        cfg.nerf.validation["fast_eval"] = True
+        cfg.nerf.validation["occupancy"] = True
+        cfg.nerf.validation["occupancy_resolution"] = 16
+        ckpt = latest_checkpoint(
+            os.path.join(str(cfg.experiment.logdir), str(cfg.experiment.id))
+        )
+        srv = AvatarServer(cfg, checkpoint=ckpt, log=False)
+        assert srv.occupancy is not None
+        out = srv.render(frame=0)["rgb_fine"]
+        assert out.shape == (16, 16, 3) and np.isfinite(out).all()
+        parity = srv.render(frame=0, fast_eval=False)["rgb_fine"]
+        assert parity.shape == (16, 16, 3)
 
     def test_fast_eval_override(self, server):
         """Per-request fast_eval: False is a no-op on a parity-mode
