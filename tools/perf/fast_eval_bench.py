@@ -60,26 +60,79 @@ def main():
             fast_eval=fast, fast_eval_capacity=float(area) * 1.05,
         )
 
-    def run(fast, n_frames):
-        s = settings(fast)
+    # Occupancy mode: the mask content is irrelevant to throughput — only
+    # the capacity (rendered rays) and the probe-gather cost are — so use
+    # an ellipsoid "head" filling ~60% of the bbox frustum, the typical
+    # face-to-bbox ratio, instead of training a field first.
+    from nerface_tpu.eval.occupancy import OccupancyGrid, ray_aabb
+
+    lo, hi = ray_aabb(
+        np.eye(4, dtype=np.float32)[None], intr, H, W, 0.2, 0.8
+    )
+    res = 64
+    c = (np.arange(res) + 0.5) / res
+    gx, gy, gz = np.meshgrid(c, c, c, indexing="ij")
+    # ellipsoid centered on the bbox frustum's center, axes ~55% of the
+    # box half-extents (face-within-bbox proportions)
+    cy = (bbox[0] + bbox[1]) / 2 / H
+    cx = (bbox[2] + bbox[3]) / 2 / W
+    ry = (bbox[1] - bbox[0]) / H * 0.55 / 2
+    rx = (bbox[3] - bbox[2]) / W * 0.55 / 2
+    ell = (
+        ((gx - cx) / max(rx, 1e-3)) ** 2
+        + ((gy - cy) / max(ry, 1e-3)) ** 2
+        + ((gz - 0.5) / 0.45) ** 2
+    ) < 1.0
+    occ = OccupancyGrid(
+        jnp.asarray(ell), jnp.asarray(lo), jnp.asarray(hi)
+    )
+    # capacity must reflect the rendered mask = bbox AND occupancy
+    from nerface_tpu.eval.occupancy import ray_occupancy_mask
+    from nerface_tpu.ops.rays import get_ray_bundle
+
+    ro, rd = get_ray_bundle(
+        H, W, jnp.asarray(intr), jnp.asarray(pose)
+    )
+    occ_m = np.asarray(ray_occupancy_mask(
+        occ, ro.reshape(-1, 3), rd.reshape(-1, 3), 0.2, 0.8, 128
+    )).reshape(H, W)
+    ii, jj = np.mgrid[0:H, 0:W]
+    bb_m = (
+        (ii >= bbox[0]) & (ii <= bbox[1])
+        & (jj >= bbox[2]) & (jj <= bbox[3])
+    )
+    occ_frac = float((occ_m & bb_m).mean())
+
+    def run(mode, n_frames):
+        s = settings(mode != "parity")
+        if mode == "occupancy":
+            import dataclasses as _dc
+
+            s = _dc.replace(
+                s, fast_eval_capacity=min(1.0, occ_frac * 1.1)
+            )
         out = None
         for i in range(n_frames):
             out = render_full_frame(
                 model, model, params_c, params_f, H, W, intr, pose, s,
                 key=jax.random.PRNGKey(i), expressions=expr,
                 latent_code=latent, background=bg, dtype=jnp.bfloat16,
-                bbox=bbox if fast else None,
+                bbox=bbox if mode != "parity" else None,
+                occupancy=occ if mode == "occupancy" else None,
             )
         return float(jnp.mean(out["rgb_fine"]))  # host-read sync
 
-    for fast in (False, True):
-        label = "fast-eval" if fast else "parity  "
-        run(fast, 1)  # compile + warm
+    for mode in ("parity", "fast-eval", "occupancy"):
+        cap = {
+            "parity": None, "fast-eval": float(area) * 1.05,
+            "occupancy": min(1.0, occ_frac * 1.1),
+        }[mode]
+        run(mode, 1)  # compile + warm
         t0 = time.perf_counter()
-        run(fast, args.frames)
+        run(mode, args.frames)
         dt = (time.perf_counter() - t0) / args.frames
-        extra = f" (active capacity {float(area) * 1.05:.2f})" if fast else ""
-        print(f"{label}: {dt * 1e3:8.1f} ms/frame  "
+        extra = f" (active capacity {cap:.2f})" if cap else ""
+        print(f"{mode:9s}: {dt * 1e3:8.1f} ms/frame  "
               f"{1.0 / dt:5.2f} fps{extra}")
 
 
