@@ -95,7 +95,9 @@ def main(argv=None) -> None:
         print("[serve] warmup render done", file=sys.stderr, flush=True)
 
     if args.stdio:
-        n = server.serve_jsonl(sys.stdin, sys.stdout)
+        n = server.serve_jsonl(
+            sys.stdin, sys.stdout, max_requests=args.max_requests
+        )
         print(f"[serve] handled {n} requests", file=sys.stderr, flush=True)
     else:
         host, _, port = args.listen.rpartition(":")

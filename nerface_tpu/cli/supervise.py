@@ -85,14 +85,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def rss_gb(pid: int) -> Optional[float]:
     """Resident set of `pid` in GiB via /proc (None if unreadable/gone)."""
-    try:
-        with open(f"/proc/{pid}/status") as f:
-            for line in f:
-                if line.startswith("VmRSS:"):
-                    return int(line.split()[1]) / (1024.0 * 1024.0)
-    except OSError:
-        return None
-    return None
+    from nerface_tpu.utils.profiling import host_rss_gb
+
+    return host_rss_gb(pid)
 
 
 def newest_mtime(root: str) -> float:
@@ -186,12 +181,31 @@ def stop_child(proc: subprocess.Popen, grace_seconds: float) -> None:
         proc.wait()
 
 
+def _sigterm_to_exit(*_args) -> None:
+    # default SIGTERM disposition kills the process without unwinding,
+    # skipping the except-BaseException child cleanup below and orphaning
+    # the train child (which keeps the TPU owned); raise instead
+    raise SystemExit(143)
+
+
 def supervise(args) -> int:
     train_args, user_ckpt = strip_load_checkpoint(
         [a for a in args.train_args if a != "--"]
     )
     logdir = experiment_logdir(train_args)
     restarts = 0
+    try:
+        prev_term = signal.signal(signal.SIGTERM, _sigterm_to_exit)
+    except ValueError:  # not the main thread (in-process tests)
+        prev_term = None
+    try:
+        return _supervise_loop(args, train_args, user_ckpt, logdir, restarts)
+    finally:
+        if prev_term is not None:
+            signal.signal(signal.SIGTERM, prev_term)
+
+
+def _supervise_loop(args, train_args, user_ckpt, logdir, restarts) -> int:
     while True:
         argv = child_argv(args.child_module, train_args, logdir, user_ckpt)
         print(f"[SUPERVISE] launch (restart {restarts}): {' '.join(argv[2:])}",

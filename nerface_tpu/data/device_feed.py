@@ -143,10 +143,10 @@ class DeviceRayFeed:
         n_dev = int(mesh.devices.size)
         ray_sharding = NamedSharding(mesh, P(data_axis))
         rep_sharding = NamedSharding(mesh, P())
-        ray_keys = {
-            "ray_origins", "ray_directions", "target_rgb",
-            "background_rgb", "pixel_indices",
-        }
+        # one shared definition of "per-ray batch entry" — a key added
+        # to one site but not the other would silently replicate instead
+        # of shard (or vice versa) on multi-device runs
+        from nerface_tpu.train.distributed import RAY_KEYS as ray_keys
 
         @jax.jit
         def sample(key: jax.Array) -> Dict[str, jnp.ndarray]:

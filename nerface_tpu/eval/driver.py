@@ -210,77 +210,31 @@ def evaluate(
     # union so no ray overflows. The union (not per-frame boxes) keeps
     # ablation modes safe — they render frame i under other frames' poses.
     fast_bbox = None
-    if settings.fast_eval:
-        import dataclasses as _dc
-
-        bbs = np.asarray(dataset.bboxes)[np.asarray(dataset.i_test)]
-        fast_bbox = np.array(
-            [bbs[:, 0].min(), bbs[:, 1].max(),
-             bbs[:, 2].min(), bbs[:, 3].max()], np.int32,
-        )
-        area = (
-            float(fast_bbox[1] - fast_bbox[0] + 1)
-            * float(fast_bbox[3] - fast_bbox[2] + 1) / float(H * W)
-        )
-        settings = _dc.replace(
-            settings, fast_eval_capacity=min(1.0, area * 1.05)
-        )
-        if log:
-            print(
-                f"[fast-eval] bbox union {fast_bbox.tolist()}, "
-                f"active capacity {settings.fast_eval_capacity:.2f} of "
-                f"{H * W} rays"
-            )
-
-    # Occupancy grid on top of fast-eval (nerf.validation.occupancy):
-    # the active set tightens from the bbox rectangle to rays that touch
-    # voxels where the trained field itself has density, and the
-    # capacity shrinks to the measured worst-case active fraction.
     occ_grid = None
-    if settings.fast_eval and settings.occupancy:
-        import dataclasses as _dc
+    if settings.fast_eval:
+        from nerface_tpu.eval.occupancy import fast_eval_setup
 
-        from nerface_tpu.eval import occupancy as occ_lib
-
-        lo, hi = occ_lib.ray_aabb(
-            render_poses, intrinsics, H, W, settings.near, settings.far
-        )
-        expr_sample = render_expressions[
-            np.linspace(
-                0, max(len(render_expressions) - 1, 0), num=8, dtype=np.int64
-            )
-        ]
-        occ_grid = occ_lib.build_occupancy_grid(
+        # the mouth sweep renders expression[68] across [-1, 1] — beyond
+        # anything in the dataset — so those extremes must join the
+        # occupancy grid's expression sample or the sweep's density
+        # lands in voxels the grid marks empty (clipped mouth)
+        extra = None
+        if flags.interpolate_mouth and len(render_expressions):
+            base = render_expressions[
+                min(241, len(render_expressions) - 1)
+            ]
+            extremes = []
+            for v in (-1.0, 1.0):
+                e = np.asarray(base).copy()
+                e[68] = v
+                extremes.append(e)
+            extra = extremes
+        fast_bbox, settings, occ_grid = fast_eval_setup(
+            dataset, render_poses, render_expressions, settings,
             model_coarse, state.params["coarse"],
-            settings.encode_xyz, settings.encode_dir, lo, hi,
-            resolution=settings.occupancy_resolution,
-            expressions=list(expr_sample),
-            latent_code=(
-                np.asarray(latent_codes[0]) if use_latent_code else None
-            ),
-            sigma_threshold=occ_lib.default_sigma_threshold(
-                settings.near, settings.far, settings.num_coarse
-            ),
-            dilate=settings.occupancy_dilate,
-            dtype=dtype,
+            latent_codes=latent_codes if use_latent_code else None,
+            dtype=dtype, log=log, extra_expressions=extra,
         )
-        frac = occ_lib.active_fraction(
-            occ_grid, render_poses, intrinsics, H, W,
-            settings.near, settings.far, settings.occupancy_probes,
-        )
-        settings = _dc.replace(
-            settings,
-            fast_eval_capacity=min(
-                settings.fast_eval_capacity, min(1.0, frac * 1.1)
-            ),
-        )
-        if log:
-            print(
-                f"[fast-eval] occupancy grid "
-                f"{settings.occupancy_resolution}^3 "
-                f"({occ_grid.occupancy_fraction():.3f} occupied), active "
-                f"capacity {settings.fast_eval_capacity:.2f}"
-            )
 
     os.makedirs(savedir, exist_ok=True)
     os.makedirs(os.path.join(savedir, "normals"), exist_ok=True)

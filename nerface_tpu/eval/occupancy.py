@@ -224,6 +224,93 @@ def ray_occupancy_mask(
     return jnp.any(hit & in_box, axis=-1)
 
 
+def fast_eval_setup(
+    dataset,
+    render_poses: np.ndarray,
+    render_expressions: np.ndarray,
+    settings,
+    model_coarse,
+    params_coarse,
+    latent_codes=None,
+    dtype=None,
+    log: bool = False,
+    extra_expressions: Optional[Sequence[np.ndarray]] = None,
+):
+    """One shared fast-eval setup for the eval driver AND the avatar
+    server (they must not diverge — a served frame is contractually
+    pixel-identical to batch eval): the head-bbox union over the test
+    split with the capacity sized to it, plus — when
+    `settings.occupancy` — the occupancy grid built from the trained
+    field with the capacity tightened to the measured worst-case active
+    fraction. `extra_expressions` joins the grid-build sample for eval
+    modes that synthesize expressions beyond the dataset's (the mouth
+    sweep); returns (bbox, settings, occupancy_grid_or_None)."""
+    i_test = np.asarray(dataset.i_test)
+    bbs = np.asarray(dataset.bboxes)[i_test]
+    bbox = np.array(
+        [bbs[:, 0].min(), bbs[:, 1].max(),
+         bbs[:, 2].min(), bbs[:, 3].max()], np.int32,
+    )
+    H, W = dataset.H, dataset.W
+    area = (
+        float(bbox[1] - bbox[0] + 1) * float(bbox[3] - bbox[2] + 1)
+        / float(H * W)
+    )
+    settings = dataclasses.replace(
+        settings, fast_eval_capacity=min(1.0, area * 1.05)
+    )
+    if log:
+        print(
+            f"[fast-eval] bbox union {bbox.tolist()}, active capacity "
+            f"{settings.fast_eval_capacity:.2f} of {H * W} rays"
+        )
+
+    occ = None
+    if settings.occupancy:
+        lo, hi = ray_aabb(
+            render_poses, dataset.intrinsics, H, W,
+            settings.near, settings.far,
+        )
+        sample = list(render_expressions[np.linspace(
+            0, max(len(render_expressions) - 1, 0), num=8, dtype=np.int64
+        )])
+        if extra_expressions is not None:
+            sample += [np.asarray(e) for e in extra_expressions]
+        occ = build_occupancy_grid(
+            model_coarse, params_coarse,
+            settings.encode_xyz, settings.encode_dir, lo, hi,
+            resolution=settings.occupancy_resolution,
+            expressions=sample,
+            latent_code=(
+                np.asarray(latent_codes[0])
+                if latent_codes is not None else None
+            ),
+            sigma_threshold=default_sigma_threshold(
+                settings.near, settings.far, settings.num_coarse
+            ),
+            dilate=settings.occupancy_dilate,
+            dtype=dtype,
+        )
+        frac = active_fraction(
+            occ, render_poses, dataset.intrinsics, H, W,
+            settings.near, settings.far, settings.occupancy_probes,
+        )
+        settings = dataclasses.replace(
+            settings,
+            fast_eval_capacity=min(
+                settings.fast_eval_capacity, min(1.0, frac * 1.1)
+            ),
+        )
+        if log:
+            print(
+                f"[fast-eval] occupancy grid "
+                f"{settings.occupancy_resolution}^3 "
+                f"({occ.occupancy_fraction():.3f} occupied), active "
+                f"capacity {settings.fast_eval_capacity:.2f}"
+            )
+    return bbox, settings, occ
+
+
 def active_fraction(
     occ: OccupancyGrid,
     poses: np.ndarray,

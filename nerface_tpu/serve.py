@@ -153,70 +153,37 @@ class AvatarServer:
             try:
                 self.idx_map = dataset.load_index_map()
             except FileNotFoundError:
-                pass
+                # same fallback as the eval driver (driver.py): identity
+                # map, so the default pinned row resolves to idx_map[10]
+                # there and here alike and served frames keep matching
+                # batch eval
+                if log:
+                    print(
+                        "WARNING: index_map.npy not found; using identity "
+                        "latent-code mapping"
+                    )
+                n = len(dataset.poses)
+                self.idx_map = np.stack([np.arange(n), np.arange(n)], axis=-1)
 
         self.settings = RenderSettings.from_cfg(cfg, mode="validation")
         self.fast_bbox = None
         self.occupancy = None
         if self.settings.fast_eval:
-            bbs = np.asarray(dataset.bboxes)[np.asarray(dataset.i_test)]
-            self.fast_bbox = np.array(
-                [bbs[:, 0].min(), bbs[:, 1].max(),
-                 bbs[:, 2].min(), bbs[:, 3].max()], np.int32,
-            )
-            area = (
-                float(self.fast_bbox[1] - self.fast_bbox[0] + 1)
-                * float(self.fast_bbox[3] - self.fast_bbox[2] + 1)
-                / float(self.H * self.W)
-            )
-            self.settings = dataclasses.replace(
-                self.settings, fast_eval_capacity=min(1.0, area * 1.05)
-            )
-            if self.settings.occupancy:
-                # same grid + capacity sizing as the eval driver — note
-                # the serving caveat in render(): novel poses outside the
-                # test split's region should send fast_eval=false
-                from nerface_tpu.eval import occupancy as occ_lib
+            # identical setup to the eval driver (one shared helper —
+            # served frames are contractually pixel-identical to batch
+            # eval); the serving caveat in render() still applies: novel
+            # poses/expressions outside the test split's region should
+            # send fast_eval=false
+            from nerface_tpu.eval.occupancy import fast_eval_setup
 
-                i_test = np.asarray(dataset.i_test)
-                poses = np.asarray(dataset.poses)[i_test]
-                exprs = np.asarray(dataset.expressions)[i_test]
-                lo, hi = occ_lib.ray_aabb(
-                    poses, self.intrinsics, self.H, self.W,
-                    self.settings.near, self.settings.far,
-                )
-                sample = exprs[np.linspace(
-                    0, max(len(exprs) - 1, 0), num=8, dtype=np.int64
-                )]
-                self.occupancy = occ_lib.build_occupancy_grid(
-                    self.model_coarse, self.params_coarse,
-                    self.settings.encode_xyz, self.settings.encode_dir,
-                    lo, hi,
-                    resolution=self.settings.occupancy_resolution,
-                    expressions=list(sample),
-                    latent_code=(
-                        np.asarray(self.latent_codes[0])
-                        if self.latent_codes is not None else None
-                    ),
-                    sigma_threshold=occ_lib.default_sigma_threshold(
-                        self.settings.near, self.settings.far,
-                        self.settings.num_coarse,
-                    ),
-                    dilate=self.settings.occupancy_dilate,
-                    dtype=self.dtype,
-                )
-                frac = occ_lib.active_fraction(
-                    self.occupancy, poses, self.intrinsics, self.H, self.W,
-                    self.settings.near, self.settings.far,
-                    self.settings.occupancy_probes,
-                )
-                self.settings = dataclasses.replace(
-                    self.settings,
-                    fast_eval_capacity=min(
-                        self.settings.fast_eval_capacity,
-                        min(1.0, frac * 1.1),
-                    ),
-                )
+            i_test = np.asarray(dataset.i_test)
+            self.fast_bbox, self.settings, self.occupancy = fast_eval_setup(
+                dataset,
+                np.asarray(dataset.poses)[i_test],
+                np.asarray(dataset.expressions)[i_test],
+                self.settings, self.model_coarse, self.params_coarse,
+                latent_codes=self.latent_codes, dtype=self.dtype, log=log,
+            )
 
         # Request defaults come from the test split's first frame — the
         # same frame the eval driver renders first.
@@ -267,11 +234,13 @@ class AvatarServer:
     ) -> Dict[str, np.ndarray]:
         """Render one frame; returns uint8 image maps keyed by name.
 
-        `fast_eval=None` uses the server default.  The fast path's bbox
-        and capacity are frozen from the dataset's TEST-SPLIT poses — a
-        novel client pose that moves the head outside that union gets
-        its out-of-bbox rays composited to background.  Clients sending
-        novel poses should pass `fast_eval=False` to force the
+        `fast_eval=None` uses the server default.  The fast path's bbox,
+        capacity, and (if enabled) occupancy grid are frozen from the
+        dataset's TEST-SPLIT poses and expressions — a novel client pose
+        that moves the head outside that union, or a novel expression
+        that puts density in voxels the grid marked empty, gets those
+        rays composited to background.  Clients sending novel
+        poses/expressions should pass `fast_eval=False` to force the
         full-frame parity renderer for that request (compiled once,
         cached thereafter)."""
         bad = [m for m in maps if m not in _KNOWN_MAPS]
@@ -415,8 +384,9 @@ class AvatarServer:
         except Exception as e:  # serving loop must survive bad requests
             return {"ok": False, "error": f"{type(e).__name__}: {e}"}
 
-    def serve_jsonl(self, in_stream, out_stream) -> int:
-        """Serve newline-delimited JSON until EOF or a stop command.
+    def serve_jsonl(self, in_stream, out_stream, max_requests=None) -> int:
+        """Serve newline-delimited JSON until EOF, a stop command, or
+        `max_requests` requests (testing/draining bound).
 
         Returns the number of requests handled."""
         handled = 0
@@ -435,6 +405,8 @@ class AvatarServer:
             handled += 1
             if response.get("cmd") == "stop" and response.get("ok"):
                 break
+            if max_requests is not None and handled >= max_requests:
+                break
         return handled
 
     def serve_tcp(self, host: str, port: int, max_requests=None) -> int:
@@ -451,21 +423,36 @@ class AvatarServer:
             stop = False
             while not stop and (max_requests is None or handled < max_requests):
                 conn, _ = srv.accept()
-                with conn, conn.makefile("rw", encoding="utf-8") as stream:
-                    for line in stream:
-                        line = line.strip()
-                        if not line:
-                            continue
-                        try:
-                            response = self.handle(json.loads(line))
-                        except json.JSONDecodeError as e:
-                            response = {"ok": False, "error": f"bad json: {e}"}
-                        stream.write(json.dumps(response) + "\n")
-                        stream.flush()
-                        handled += 1
-                        if response.get("cmd") == "stop" and response.get("ok"):
-                            stop = True
-                            break
-                        if max_requests is not None and handled >= max_requests:
-                            break
+                try:
+                    with conn, conn.makefile("rw", encoding="utf-8") as stream:
+                        for line in stream:
+                            line = line.strip()
+                            if not line:
+                                continue
+                            try:
+                                response = self.handle(json.loads(line))
+                            except json.JSONDecodeError as e:
+                                response = {
+                                    "ok": False, "error": f"bad json: {e}"
+                                }
+                            stream.write(json.dumps(response) + "\n")
+                            stream.flush()
+                            handled += 1
+                            if (
+                                response.get("cmd") == "stop"
+                                and response.get("ok")
+                            ):
+                                stop = True
+                                break
+                            if (
+                                max_requests is not None
+                                and handled >= max_requests
+                            ):
+                                break
+                except OSError as e:
+                    # a client that resets or disconnects mid-request
+                    # (e.g. timing out on a first-compile render) must
+                    # not take the resident server down with it
+                    if self._log:
+                        print(f"[serve] connection dropped: {e}", flush=True)
         return handled

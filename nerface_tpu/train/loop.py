@@ -30,18 +30,11 @@ from nerface_tpu.utils.tb import ScalarWriter
 
 
 def _host_rss_gb() -> float:
-    """Resident-set size of this process in GiB, from /proc (no psutil).
+    """This process's resident set in GiB (0.0 where /proc is missing so
+    the TB scalar is always writable)."""
+    from nerface_tpu.utils.profiling import host_rss_gb
 
-    Returns 0.0 where /proc isn't available so the TB scalar is always
-    writable."""
-    try:
-        with open("/proc/self/status") as f:
-            for line in f:
-                if line.startswith("VmRSS:"):
-                    return int(line.split()[1]) / (1024.0 * 1024.0)
-    except OSError:
-        pass
-    return 0.0
+    return host_rss_gb() or 0.0
 
 
 def build_models_from_cfg(cfg):

@@ -11,6 +11,21 @@ import time
 from typing import Iterator, Optional
 
 
+def host_rss_gb(pid: Optional[int] = None) -> Optional[float]:
+    """Resident-set size of `pid` (default: this process) in GiB via
+    /proc — no psutil in the image. None if the process is gone or
+    /proc is unavailable; callers that need a number coalesce to 0.0."""
+    path = f"/proc/{pid}/status" if pid is not None else "/proc/self/status"
+    try:
+        with open(path) as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / (1024.0 * 1024.0)
+    except OSError:
+        return None
+    return None
+
+
 @contextlib.contextmanager
 def profile_trace(logdir: str) -> Iterator[None]:
     """Capture a jax.profiler trace viewable in TensorBoard/XProf."""

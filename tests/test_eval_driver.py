@@ -231,6 +231,15 @@ class TestFastEvalThroughDriver:
         savedir = str(tmp_path / "occ_renders")
         summary = evaluate(cfg2, ckpt, savedir, EvalFlags(), log=False)
         assert summary["frames"] == 2.0
+        # and with the mouth sweep: it synthesizes expressions beyond
+        # the dataset (expression[68] in [-1,1]), which must join the
+        # grid-build sample instead of landing in skipped voxels
+        savedir2 = str(tmp_path / "occ_mouth")
+        summary2 = evaluate(
+            cfg2, ckpt, savedir2, EvalFlags(interpolate_mouth=True),
+            log=False,
+        )
+        assert summary2["frames"] == 2.0
         from PIL import Image
 
         img = np.array(Image.open(os.path.join(savedir, "0000.png")))

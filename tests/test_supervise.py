@@ -237,9 +237,11 @@ class TestSupervise:
         logdir = os.path.join(str(tmp_path / "logs"), "tiny")
         assert latest_checkpoint(logdir) is not None
 
-    def test_interrupt_stops_child(self, tmp_path):
+    @pytest.mark.parametrize("signame", ["SIGINT", "SIGTERM"])
+    def test_interrupt_stops_child(self, tmp_path, signame):
         """A killed supervisor must not orphan the child (the TPU stays
-        owned otherwise)."""
+        owned otherwise) — both ctrl-C and a service manager's plain
+        SIGTERM (which needs an installed handler to unwind cleanly)."""
         import signal
         import subprocess as sp
         import sys
@@ -265,7 +267,7 @@ class TestSupervise:
                 break
             time.sleep(0.2)
         child_pid = int(pid_f.read_text())
-        sup.send_signal(signal.SIGINT)
+        sup.send_signal(getattr(signal, signame))
         sup.wait(timeout=30)
         for _ in range(50):
             try:

@@ -25,8 +25,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 
 def rss_kb() -> int:
-    with open("/proc/self/status") as f:
-        return int(f.read().split("VmRSS:")[1].split()[0])
+    from nerface_tpu.utils.profiling import host_rss_gb
+
+    return int((host_rss_gb() or 0.0) * 1024 * 1024)
 
 
 class RssSampler(threading.Thread):

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import io
+import itertools
 import os
 import struct
 from typing import Iterable, List, Sequence
@@ -45,64 +46,97 @@ def write_mjpeg_avi(
     path: str, frames: Iterable, fps: int = 25, quality: int = 92
 ) -> int:
     """Write frames (HxWx3 uint8 arrays) as an MJPEG AVI; returns the
-    frame count. Single streaming pass; the header is patched at the end
-    (frame count / sizes are not known up front)."""
-    encoded: List[bytes] = []
-    width = height = None
-    for frame in frames:
-        if width is None:
-            height, width = frame.shape[:2]
-        elif frame.shape[:2] != (height, width):
-            raise ValueError(
-                f"frame size {frame.shape[:2]} != first frame "
-                f"{(height, width)}"
-            )
-        encoded.append(_jpeg_bytes(frame, quality))
-    if not encoded:
-        raise ValueError("no frames")
-    n = len(encoded)
+    frame count. True single streaming pass: each JPEG chunk goes to
+    disk as it is encoded (only the 16-byte-per-frame index entry is
+    retained), and the length/count header fields — unknown up front —
+    are seek-patched at the end. Keeps a 50 fps triptych of thousands of
+    512x512 frames from holding hundreds of MB of JPEG data resident."""
+    u32 = lambda x: struct.pack("<I", x)
 
     def chunk(fourcc: bytes, payload: bytes) -> bytes:
         pad = b"\x00" if len(payload) % 2 else b""
-        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+        return fourcc + u32(len(payload)) + payload + pad
 
-    def lst(kind: bytes, payload: bytes) -> bytes:
-        return chunk(b"LIST", kind + payload)
+    it = iter(frames)
+    try:
+        first = next(it)
+    except StopIteration:
+        raise ValueError("no frames")
+    height, width = first.shape[:2]
 
-    max_bytes = max(len(e) for e in encoded)
-    # AVIMAINHEADER: µs/frame, max bytes/s, pad, flags (HASINDEX),
-    # frames, initial, streams, buffer, WxH, reserved[4]
-    avih = chunk(b"avih", struct.pack(
-        "<10I4I", 1_000_000 // fps, max_bytes * fps, 0, 0x10, n, 0, 1,
-        max_bytes, width, height, 0, 0, 0, 0,
-    ))
-    # AVISTREAMHEADER: vids/MJPG, then flags/priority/frames/etc.
-    strh = chunk(b"strh", struct.pack(
-        "<4s4sI2H8I4h", b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n,
-        max_bytes, 0xFFFFFFFF, 0, 0, 0, width, height,
-    ))
-    # BITMAPINFOHEADER
-    strf = chunk(b"strf", struct.pack(
-        "<I2i2H2I2i2I", 40, width, height, 1, 24, 0x47504A4D,
-        width * height * 3, 0, 0, 0, 0,
-    ))
-    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
-
-    movi_chunks = [chunk(b"00dc", e) for e in encoded]
-    movi = lst(b"movi", b"".join(movi_chunks))
-    # idx1: fourcc, flags (KEYFRAME), offset from 'movi' tag, size
-    offsets, off = [], 4
-    for c, e in zip(movi_chunks, encoded):
-        offsets.append(off)
-        off += len(c)
-    idx1 = chunk(b"idx1", b"".join(
-        struct.pack("<4s3I", b"00dc", 0x10, o, len(e))
-        for o, e in zip(offsets, encoded)
-    ))
-
-    body = b"AVI " + hdrl + movi + idx1
     with open(path, "wb") as f:
-        f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+        f.write(b"RIFF" + u32(0) + b"AVI ")          # riff size @4
+
+        # AVIMAINHEADER: µs/frame, max bytes/s, pad, flags (HASINDEX),
+        # frames, initial, streams, buffer, WxH, reserved[4] — the
+        # max-bytes/frame-count fields are placeholders patched below
+        avih = chunk(b"avih", struct.pack(
+            "<10I4I", 1_000_000 // fps, 0, 0, 0x10, 0, 0, 1,
+            0, width, height, 0, 0, 0, 0,
+        ))
+        # AVISTREAMHEADER: vids/MJPG, then flags/priority/frames/etc.
+        strh = chunk(b"strh", struct.pack(
+            "<4s4sI2H8I4h", b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, 0,
+            0, 0xFFFFFFFF, 0, 0, 0, width, height,
+        ))
+        # BITMAPINFOHEADER
+        strf = chunk(b"strf", struct.pack(
+            "<I2i2H2I2i2I", 40, width, height, 1, 24, 0x47504A4D,
+            width * height * 3, 0, 0, 0, 0,
+        ))
+        strl = b"LIST" + u32(4 + len(strh) + len(strf)) + b"strl"
+        hdrl_payload = len(avih) + len(strl) + len(strh) + len(strf)
+        f.write(b"LIST" + u32(4 + hdrl_payload) + b"hdrl")
+        pos_avih = f.tell() + 8                       # avih payload
+        f.write(avih)
+        f.write(strl)
+        pos_strh = f.tell() + 8                       # strh payload
+        f.write(strh + strf)
+
+        pos_movi_size = f.tell() + 4                  # LIST size field
+        f.write(b"LIST" + u32(0) + b"movi")
+
+        index: List[tuple] = []                       # (offset, jpeg size)
+        off = 4                                       # from 'movi' tag
+        max_bytes = 0
+        n = 0
+        for frame in itertools.chain((first,), it):
+            if frame.shape[:2] != (height, width):
+                raise ValueError(
+                    f"frame size {frame.shape[:2]} != first frame "
+                    f"{(height, width)}"
+                )
+            e = _jpeg_bytes(frame, quality)
+            c = chunk(b"00dc", e)
+            f.write(c)
+            index.append((off, len(e)))
+            off += len(c)
+            max_bytes = max(max_bytes, len(e))
+            n += 1
+        movi_payload = 4 + sum(
+            8 + s + (s % 2) for _, s in index
+        )
+
+        # idx1: fourcc, flags (KEYFRAME), offset from 'movi' tag, size
+        f.write(chunk(b"idx1", b"".join(
+            struct.pack("<4s3I", b"00dc", 0x10, o, s) for o, s in index
+        )))
+
+        end = f.tell()
+        f.seek(4)
+        f.write(u32(end - 8))
+        f.seek(pos_avih + 4)                          # dwMaxBytesPerSec
+        f.write(u32(max_bytes * fps))
+        f.seek(pos_avih + 16)                         # dwTotalFrames
+        f.write(u32(n))
+        f.seek(pos_avih + 28)                         # dwSuggestedBufferSize
+        f.write(u32(max_bytes))
+        f.seek(pos_strh + 32)                         # dwLength
+        f.write(u32(n))
+        f.seek(pos_strh + 36)                         # dwSuggestedBufferSize
+        f.write(u32(max_bytes))
+        f.seek(pos_movi_size)
+        f.write(u32(movi_payload))
     return n
 
 
