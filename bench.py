@@ -13,6 +13,7 @@ hardware, README.md:39). BASELINE.json's target is ≥20× → vs_baseline ≥ 2
 """
 
 import json
+import subprocess
 import sys
 import time
 
@@ -27,7 +28,48 @@ STEPS = 100
 REPEATS = 3  # median of independent slope measurements (tunnel variance)
 
 
+def _device_ready(timeout: float = 120.0) -> bool:
+    """Probe backend init in a SUBPROCESS: a dead tunnel makes
+    jax.devices() hang forever rather than error (observed in the
+    round-3 outage), so an in-process probe would hang this benchmark."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _wait_for_device(attempts: int = 10, probe_timeout: float = 120.0) -> bool:
+    """Ride out a transient tunnel outage (the skill notes say workers
+    recover in minutes); give up after ~20 min so the driver gets an
+    honest artifact instead of a hang."""
+    for i in range(attempts):
+        if _device_ready(probe_timeout):
+            return True
+        print(
+            f"[bench] TPU backend unreachable (probe {i + 1}/{attempts}); "
+            "retrying in 60s",
+            file=sys.stderr, flush=True,
+        )
+        time.sleep(60.0)
+    return False
+
+
 def main():
+    if not _wait_for_device():
+        # still one JSON line out — an honest zero, not a hang
+        print(json.dumps({
+            "metric": "train_rays_per_sec",
+            "value": 0.0,
+            "unit": "rays/s",
+            "vs_baseline": 0.0,
+            "error": "TPU backend unreachable (tunnel outage); "
+                     "no measurement taken",
+        }))
+        return
     from nerface_tpu.config import CfgNode, FeatureFlags
     from nerface_tpu.models import MODELS
     from nerface_tpu.render.pipeline import EncodeSpec, RenderSettings
