@@ -49,12 +49,14 @@ def _wait_for_device(attempts: int = 10, probe_timeout: float = 120.0) -> bool:
     for i in range(attempts):
         if _device_ready(probe_timeout):
             return True
+        last = i + 1 == attempts
         print(
-            f"[bench] TPU backend unreachable (probe {i + 1}/{attempts}); "
-            "retrying in 60s",
+            f"[bench] TPU backend unreachable (probe {i + 1}/{attempts})"
+            + ("" if last else "; retrying in 60s"),
             file=sys.stderr, flush=True,
         )
-        time.sleep(60.0)
+        if not last:
+            time.sleep(60.0)
     return False
 
 
