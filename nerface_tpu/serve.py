@@ -410,11 +410,31 @@ class AvatarServer:
         return handled
 
     def serve_tcp(self, host: str, port: int, max_requests=None) -> int:
-        """Serve the JSONL protocol over TCP (one chip → one server
-        process; connections are handled sequentially). Returns the
-        number of requests handled; `max_requests` bounds tests."""
+        """Serve the JSONL protocol over TCP. Single-threaded, but
+        MULTIPLEXED over connections with `selectors`: many clients can
+        stay connected at once — their requests serialize at the one
+        renderer (one chip → one server process), but a slow or idle
+        client never blocks another from connecting or being answered.
+        Per-connection failures (resets, disconnects mid-request) drop
+        that connection only. Returns the number of requests handled;
+        `max_requests` bounds tests/draining."""
+        import selectors
+
         handled = 0
+        sel = selectors.DefaultSelector()
+        buffers: Dict[socket.socket, bytes] = {}
+
+        def drop(conn):
+            sel.unregister(conn)
+            buffers.pop(conn, None)
+            try:
+                conn.close()
+            except OSError:
+                pass
+
         with socket.create_server((host, port)) as srv:
+            srv.setblocking(False)
+            sel.register(srv, selectors.EVENT_READ)
             if self._log:
                 print(
                     f"[serve] listening on {host}:{srv.getsockname()[1]}",
@@ -422,37 +442,65 @@ class AvatarServer:
                 )
             stop = False
             while not stop and (max_requests is None or handled < max_requests):
-                conn, _ = srv.accept()
-                try:
-                    with conn, conn.makefile("rw", encoding="utf-8") as stream:
-                        for line in stream:
-                            line = line.strip()
-                            if not line:
-                                continue
-                            try:
-                                response = self.handle(json.loads(line))
-                            except json.JSONDecodeError as e:
-                                response = {
-                                    "ok": False, "error": f"bad json: {e}"
-                                }
-                            stream.write(json.dumps(response) + "\n")
-                            stream.flush()
-                            handled += 1
-                            if (
-                                response.get("cmd") == "stop"
-                                and response.get("ok")
-                            ):
-                                stop = True
-                                break
-                            if (
-                                max_requests is not None
-                                and handled >= max_requests
-                            ):
-                                break
-                except OSError as e:
-                    # a client that resets or disconnects mid-request
-                    # (e.g. timing out on a first-compile render) must
-                    # not take the resident server down with it
-                    if self._log:
-                        print(f"[serve] connection dropped: {e}", flush=True)
+                for key, _ in sel.select():
+                    if key.fileobj is srv:
+                        conn, _addr = srv.accept()
+                        conn.setblocking(True)  # writes may be large PNGs
+                        sel.register(conn, selectors.EVENT_READ)
+                        buffers[conn] = b""
+                        continue
+                    conn = key.fileobj
+                    try:
+                        data = conn.recv(65536)
+                    except OSError:
+                        drop(conn)
+                        continue
+                    if not data:
+                        drop(conn)
+                        continue
+                    buffers[conn] += data
+                    while b"\n" in buffers[conn]:
+                        line, buffers[conn] = buffers[conn].split(b"\n", 1)
+                        line = line.strip()
+                        if not line:
+                            continue
+                        try:
+                            response = self.handle(
+                                json.loads(line.decode("utf-8"))
+                            )
+                        except (json.JSONDecodeError, UnicodeDecodeError) as e:
+                            response = {"ok": False, "error": f"bad json: {e}"}
+                        try:
+                            conn.sendall(
+                                (json.dumps(response) + "\n").encode("utf-8")
+                            )
+                        except OSError as e:
+                            # client gone mid-response: that client only
+                            if self._log:
+                                print(
+                                    f"[serve] connection dropped: {e}",
+                                    flush=True,
+                                )
+                            drop(conn)
+                            break
+                        handled += 1
+                        if (
+                            response.get("cmd") == "stop"
+                            and response.get("ok")
+                        ):
+                            stop = True
+                            break
+                        if (
+                            max_requests is not None
+                            and handled >= max_requests
+                        ):
+                            break
+                    if stop or (
+                        max_requests is not None and handled >= max_requests
+                    ):
+                        break
+            for conn in list(buffers):
+                drop(conn)
+            sel.unregister(srv)
+        sel.close()
         return handled

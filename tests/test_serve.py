@@ -224,6 +224,41 @@ class TestServeLoops:
         t.join(timeout=30)
         assert not t.is_alive()
 
+    def test_tcp_concurrent_clients(self, server):
+        """Two clients connected at once: an idle early connection must
+        not block a later one (multiplexed accept loop), and both
+        interleave requests against the same server."""
+        from nerface_tpu.client import AvatarClient
+
+        probe = socket.socket()
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
+        probe.close()
+        t = threading.Thread(
+            target=server.serve_tcp, args=("127.0.0.1", port)
+        )
+        t.start()
+        import time
+
+        a = None
+        for _ in range(50):
+            try:
+                a = AvatarClient("127.0.0.1", port)
+                break
+            except OSError:
+                time.sleep(0.1)
+        if a is None:
+            pytest.fail(f"server on port {port} never accepted a connection")
+        with a:
+            b = AvatarClient("127.0.0.1", port)  # a stays connected, idle
+            with b:
+                assert b.ping()["ok"]       # served despite a's idling
+                assert a.ping()["ok"]       # and a still works after b
+                assert b.ping()["ok"]       # interleaved again
+                b.stop_server()
+        t.join(timeout=30)
+        assert not t.is_alive()
+
     def test_tcp_loop(self, server):
         # Ephemeral port: bind first, serve in a thread, connect, talk.
         probe = socket.socket()
