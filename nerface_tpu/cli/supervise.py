@@ -213,6 +213,7 @@ def _supervise_loop(args, train_args, user_ckpt, logdir, restarts) -> int:
         proc = subprocess.Popen(argv)
         launched = time.time()
         limit_hit = False
+        free_recycle = False
         try:
             while proc.poll() is None:
                 time.sleep(args.poll_seconds)
@@ -233,13 +234,22 @@ def _supervise_loop(args, train_args, user_ckpt, logdir, restarts) -> int:
                 if args.stall_timeout_seconds > 0:
                     # launch time floors the signal so a fresh child gets
                     # its full timeout to compile before the first write
+                    wrote = newest_mtime(logdir) > launched
                     progress = max(launched, newest_mtime(logdir))
                     idle = time.time() - progress
                     if idle > args.stall_timeout_seconds:
+                        # a child that hung WITHOUT ever writing is an
+                        # infrastructure outage (e.g. backend init on a
+                        # dead tunnel), not a crash loop — recycle it
+                        # without burning the restart budget, so a long
+                        # outage can't exhaust --max-restarts
+                        free_recycle = not wrote
                         print(
                             f"[SUPERVISE] no logdir writes for {idle:.0f}s "
                             f"(> {args.stall_timeout_seconds:.0f}s) — child "
-                            "presumed hung, recycling",
+                            "presumed hung, recycling"
+                            + (" (backend outage; not counted against "
+                               "max restarts)" if free_recycle else ""),
                             flush=True,
                         )
                         stop_child(proc, args.grace_seconds)
@@ -258,7 +268,8 @@ def _supervise_loop(args, train_args, user_ckpt, logdir, restarts) -> int:
         if not limit_hit:
             print(f"[SUPERVISE] child exited {code} — restarting from "
                   "latest checkpoint", flush=True)
-        restarts += 1
+        if not free_recycle:
+            restarts += 1
         if restarts > args.max_restarts:
             print("[SUPERVISE] max restarts exceeded — giving up", flush=True)
             return 1

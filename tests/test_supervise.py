@@ -196,6 +196,42 @@ class TestSupervise:
         runs = (tmp_path / "logs" / "sup" / "runs.txt").read_text().splitlines()
         assert len(runs) == 2
 
+    def test_outage_recycles_do_not_burn_restart_budget(self, tmp_path):
+        """A stall where the child never wrote to the logdir (backend
+        init hanging on a dead tunnel) is an infrastructure outage:
+        recycle without counting against --max-restarts, so a long
+        outage can't exhaust the budget. Observed live in the round-3
+        tunnel outage."""
+        import textwrap as tw
+
+        state = tmp_path / "state"  # OUTSIDE the supervised logdir
+        mod_f = tmp_path / "fake_outage.py"
+        mod_f.write_text(tw.dedent(f"""
+            import os, sys, time
+            state = {str(state)!r}
+            os.makedirs(state, exist_ok=True)
+            runs_f = os.path.join(state, "runs.txt")
+            with open(runs_f, "a") as f:
+                f.write("x" + chr(10))
+            if sum(1 for _ in open(runs_f)) <= 2:
+                time.sleep(120)  # outage hang: silent, no logdir writes
+            sys.exit(0)
+        """))
+        os.environ["PYTHONPATH"] = (
+            str(tmp_path) + os.pathsep + os.environ.get("PYTHONPATH", "")
+        )
+        cfg = _write_cfg(tmp_path)
+        rc = supervise(
+            _args(
+                ["--stall-timeout-seconds", "10", "--poll-seconds", "0.5",
+                 "--grace-seconds", "5", "--max-restarts", "1",
+                 "--child-module", "fake_outage", "--", "--config", cfg]
+            )
+        )
+        assert rc == 0
+        runs = (state / "runs.txt").read_text().splitlines()
+        assert len(runs) == 3  # 2 free outage recycles + the success
+
     def test_newest_mtime(self, tmp_path):
         from nerface_tpu.cli.supervise import newest_mtime
 
