@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Opt-in fast eval: skip rays outside the test "
                              "split's head-bbox union (off the parity "
                              "path; equals nerf.validation.fast_eval).")
+    parser.add_argument("--occupancy", action="store_true",
+                        help="With --fast-eval: tighten the skip region to "
+                             "rays touching an occupancy grid built from "
+                             "the trained field (equals "
+                             "nerf.validation.occupancy).")
     return parser
 
 
@@ -83,6 +88,9 @@ def main(argv=None) -> None:
 
     if args.fast_eval:
         cfg.nerf.validation["fast_eval"] = True
+    if args.occupancy:
+        cfg.nerf.validation["fast_eval"] = True
+        cfg.nerf.validation["occupancy"] = True
 
     if args.matmul_precision:
         import jax

@@ -27,10 +27,10 @@ class TestParsers:
             "5", "--num-devices", "4", "--nerf", "--frontalize",
             "--interpolate-mouth", "--ablate", "view_dir",
             "--per-frame-latent", "--no-background", "--no-expressions",
-            "--no-lcode", "--fast-eval",
+            "--no-lcode", "--fast-eval", "--occupancy",
         ])
         assert a.ablate == "view_dir" and a.nerf and a.per_frame_latent
-        assert a.fast_eval
+        assert a.fast_eval and a.occupancy
 
     def test_eval_nerf_parser(self):
         from nerface_tpu.cli.eval_nerf import build_parser
