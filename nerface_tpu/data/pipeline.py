@@ -37,10 +37,17 @@ class RayFeed:
         seed: int = 42,
         bbox_p: float = 0.9,
         prefetch: int = 4,
+        start_batch: int = 0,
     ):
         self.dataset = dataset
         self.num_rays = num_rays
-        self.rng = np.random.RandomState(seed)
+        # Counter-based stream: batch b's draws depend only on
+        # (seed, b), so a resumed run constructed with
+        # start_batch=state.step continues the EXACT sample sequence an
+        # uninterrupted run would have produced, instead of replaying
+        # the stream from batch 0.
+        self.seed = int(seed)
+        self._batch_index = int(start_batch)
         H, W = dataset.H, dataset.W
         intr = np.asarray(dataset.intrinsics, np.float32)
         if intr.ndim == 0:
@@ -76,13 +83,20 @@ class RayFeed:
 
     # -- single-batch production -------------------------------------------
 
+    def _batch_rng(self) -> np.random.RandomState:
+        """Fresh generator keyed by (seed, batch index) — see __init__."""
+        ss = np.random.SeedSequence([self.seed, self._batch_index])
+        return np.random.RandomState(ss.generate_state(4))
+
     def sample_batch(self) -> Dict[str, np.ndarray]:
         ds = self.dataset
-        img_idx = int(self.rng.choice(ds.i_train))
+        rng = self._batch_rng()
+        self._batch_index += 1
+        img_idx = int(rng.choice(ds.i_train))
         train_pos = self._train_pos[img_idx]
 
         if self._native is not None:
-            seed = int(self.rng.randint(0, 2**63 - 1))
+            seed = int(rng.randint(0, 2**63 - 1))
             sel = self._native.gumbel_topk(
                 self._maps[train_pos], self.num_rays, seed
             )
@@ -95,7 +109,7 @@ class RayFeed:
             )
         else:
             sel = sample_ray_indices(
-                self.rng, self._maps[train_pos], self.num_rays
+                rng, self._maps[train_pos], self.num_rays
             )
             pose = ds.poses[img_idx]
             dirs = self._dirs_cam[sel]

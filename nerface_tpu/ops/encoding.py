@@ -16,6 +16,7 @@ from __future__ import annotations
 import functools
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,10 +34,7 @@ def _frequency_bands(num_encoding_functions: int, log_sampling: bool) -> np.ndar
     )
 
 
-import functools as _functools
-
-
-@_functools.lru_cache(maxsize=32)
+@functools.lru_cache(maxsize=32)
 def _encoding_matrix(
     d: int, num_encoding_functions: int, log_sampling: bool
 ) -> tuple:
@@ -77,8 +75,16 @@ def positional_encoding(
         return tensor if include_input else tensor[..., :0]
     d = tensor.shape[-1]
     C, phase = _encoding_matrix(d, num_encoding_functions, log_sampling)
+    # HIGHEST precision: TPU's default single-pass f32 matmul rounds the
+    # operands to bf16, which corrupts the top-band sin arguments by up
+    # to ~f_max * 2^-9 rad; the (N, d) @ (d, 2Nd) dot is tiny next to
+    # the MLP, so the multi-pass cost is negligible.
     enc = jnp.sin(
-        tensor @ jnp.asarray(C, tensor.dtype) + jnp.asarray(phase, tensor.dtype)
+        jnp.matmul(
+            tensor, jnp.asarray(C, tensor.dtype),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + jnp.asarray(phase, tensor.dtype)
     )
     if include_input:
         return jnp.concatenate([tensor, enc], axis=-1)

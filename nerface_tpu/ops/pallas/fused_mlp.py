@@ -90,9 +90,14 @@ def _dot(a, b):
 
 def _encode_in_kernel(x3, C, phase):
     """Positional encoding in VMEM: enc = sin(x @ C + phase), f32 throughout
-    (bf16 would corrupt the high-frequency band arguments)."""
+    (bf16 would corrupt the high-frequency band arguments). HIGHEST
+    precision: the MXU's default single-pass f32 matmul rounds operands
+    to bf16, which at the 2^9 top band costs up to ~0.35 rad of sin
+    argument — the very corruption computing the PE in f32 is meant to
+    avoid (same fix as the resample kernel's cdf matmul below)."""
     t = jax.lax.dot_general(
-        x3, C, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        x3, C, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return jnp.sin(t + phase)
 
@@ -638,11 +643,14 @@ def _render_kernel(n_rays, n_samples, small, has_bg, white_background,
     one_minus_alpha = jnp.exp(-sigma_a * d)
     alpha = 1.0 - one_minus_alpha
     log_t = jnp.log(one_minus_alpha + 1e-10)
-    # exclusive cumprod via strictly-upper-triangular matmul (f32 MXU)
+    # exclusive cumprod via strictly-upper-triangular matmul; HIGHEST so
+    # log_t isn't bf16-rounded before the contraction (the default
+    # single-pass f32 matmul costs up to ~0.1-1% of transmittance)
     trans = jnp.exp(
         jax.lax.dot_general(
             log_t, tri_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
     )
     weights = alpha * trans
@@ -867,10 +875,16 @@ def fused_resample(
     * `sorted_u=True` — the det path (validation/eval: u is a linspace,
       passed once as (Sf,) and broadcast in-kernel, costing no HBM).
       Samples come out sorted, so the merge is two one-sided rank counts
-      + scatter. This is the wired production eval path.
+      + scatter.
     * `sorted_u=False` — general draws; the O(S²) counting-rank merge.
-      Parity-exact vs sample_pdf+merge (4e-6 on chip) but measured SLOWER
-      than the XLA path at S=128, so the random-u path stays on XLA."""
+
+    EXPERIMENTAL / UNWIRED: both regimes are parity-exact vs
+    sample_pdf+merge (4e-6 on chip) but measured SLOWER than the XLA
+    path at eval scale (53.5 vs 10.0 ms at 65k rays — BENCH_NOTES.md
+    "Fused resample"), so NOTHING in render/ or eval/ calls this; the
+    production pipeline always uses sample_pdf + merge_sorted_zvals.
+    Kept in-tree with tests (test_pallas.py) as the measured dead end
+    it is."""
     n_rays, n_coarse = z_vals.shape
     n_fine = u.shape[-1]
     # (tr, Sf, Sc) broadcast compares + (tr, ·, Sc+Sf) scatter one-hots

@@ -149,11 +149,14 @@ def _train_kernel(
     one_minus_alpha = jnp.exp(-sigma_a * d)
     alpha = 1.0 - one_minus_alpha
     log_t = jnp.log(one_minus_alpha + 1e-10)
-    # exclusive cumprod: trans = exp(log_t @ U), U strictly upper triangular
+    # exclusive cumprod: trans = exp(log_t @ U), U strictly upper
+    # triangular; HIGHEST so log_t isn't bf16-rounded by the default
+    # single-pass f32 matmul (~0.1-1% transmittance error otherwise)
     trans = jnp.exp(
         jax.lax.dot_general(
             log_t, tri_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
     )
     weights = alpha * trans
@@ -196,6 +199,7 @@ def _train_kernel(
     g_log_t = jax.lax.dot_general(
         g_trans * trans, tri_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     # log_t = log(omae + 1e-10); alpha = 1 − omae
     g_omae = g_log_t / (one_minus_alpha + 1e-10) - g_alpha_c

@@ -361,9 +361,9 @@ def render_rays(
     single-device draws bit-exactly, provided callers pass each ray's
     GLOBAL index.
     """
-    num_rays = ray_origins.shape[0]
     ro = ray_origins.reshape(-1, 3)
     rd = ray_directions.reshape(-1, 3)
+    num_rays = ro.shape[0]  # after the flatten: (H, W, 3) inputs count H*W
     if ray_index is None:
         ray_index = jnp.arange(num_rays, dtype=jnp.int32)
     else:

@@ -188,7 +188,28 @@ def import_torch_weights(state: TrainState, torch_ckpt: Dict[str, Any]) -> Train
                 raise ValueError(f"torch checkpoint missing {which} keys: {missing}")
             params[which] = {k: loaded[k] for k in params[which]}
     if torch_ckpt.get("latent_codes") is not None:
-        params["latent_codes"] = jnp.asarray(torch_ckpt["latent_codes"])
+        codes = jnp.asarray(torch_ckpt["latent_codes"])
+        if params.get("latent_codes") is not None:
+            if codes.shape != params["latent_codes"].shape and not torch_ckpt.get("optimizer"):
+                # table follows the checkpoint (eval across datasets is
+                # fine), but the template's Adam moments keep the old
+                # shape — training from here needs the ckpt's optimizer
+                print(
+                    "WARNING: checkpoint latent_codes shape "
+                    f"{codes.shape} != template "
+                    f"{params['latent_codes'].shape} and the checkpoint "
+                    "carries no optimizer state; evaluating is fine, "
+                    "resuming training is not."
+                )
+            params["latent_codes"] = codes
+        else:
+            # the config doesn't train/use latent codes: adding the leaf
+            # anyway would desync params from the optimizer state tree
+            # and crash the first update with an opaque structure error
+            print(
+                "WARNING: checkpoint contains latent_codes but the config "
+                "does not use them; ignoring the table."
+            )
     fixed_bg = state.fixed_background
     if torch_ckpt.get("background") is not None:
         bg = jnp.asarray(torch_ckpt["background"])

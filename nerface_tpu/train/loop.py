@@ -134,7 +134,11 @@ def validate(
         coarse_loss = float(np.mean((np.asarray(out["rgb_coarse"]) - target) ** 2))
         if "rgb_fine" in out:
             fine_loss = float(np.mean((np.asarray(out["rgb_fine"]) - target) ** 2))
-            total_loss += fine_loss + fine_loss  # curr_loss + curr_fine_loss (:514)
+            # DELIBERATE reference quirk: train_transformed_rays.py:509-514
+            # sets curr_loss = curr_fine_loss and then adds BOTH, so the
+            # reference's validation/loss double-counts the fine MSE when
+            # a fine model exists; reproduced for scalar parity.
+            total_loss += fine_loss + fine_loss
         else:
             total_loss += coarse_loss
         last = (out, target)
@@ -223,6 +227,12 @@ def train(
             state = ckpt_lib.import_torch_weights(
                 state, ckpt_lib.load_torch_checkpoint(load_checkpoint)
             )
+        else:
+            # a typo'd path silently restarting a long schedule from
+            # scratch is far worse than dying here
+            raise FileNotFoundError(
+                f"--load-checkpoint path does not exist: {load_checkpoint!r}"
+            )
 
     # canonical (torch-registration) parameter order for checkpoint
     # interop — params dicts that pass through jit come back key-sorted
@@ -266,7 +276,9 @@ def train(
             dfeed.make_mesh_sampler(mesh) if mesh is not None
             else dfeed.make_sampler()
         )
-        feed_key = jax.random.PRNGKey(seed + 1)
+        feed_base = jax.random.PRNGKey(seed + 1)
+        feed_counter = int(state.step)  # counter-keyed: resume continues
+        # the uninterrupted run's draw sequence (same design as RayFeed)
 
         class _DeviceFeedIter:
             def start(self):
@@ -276,8 +288,9 @@ def train(
                 pass
 
             def __next__(self):
-                nonlocal feed_key
-                feed_key, sub = jax.random.split(feed_key)
+                nonlocal feed_counter
+                sub = jax.random.fold_in(feed_base, feed_counter)
+                feed_counter += 1
                 return sampler(sub)
 
         feed = _DeviceFeedIter()
@@ -287,6 +300,9 @@ def train(
             num_rays=int(cfg.nerf.train.num_random_rays),
             background=background if flags.fixed_background else None,
             seed=seed,
+            # resume continues the uninterrupted run's exact sample
+            # stream (counter-based draws), not a replay of batch 0
+            start_batch=int(state.step),
         ).start()
 
     train_iters = int(max_iters if max_iters is not None else cfg.experiment.train_iters)
@@ -303,7 +319,10 @@ def train(
             lambda x: np.asarray(x) if hasattr(x, "sharding") else x, state
         )
 
-    key = jax.random.PRNGKey(seed)
+    # Counter-based step keys (fold_in by iteration) instead of a
+    # sequential split chain: a resumed run draws the SAME per-step
+    # randomness the uninterrupted run would have at each iteration.
+    base_key = jax.random.PRNGKey(seed)
     start_iter = int(state.step)
     t_start = time.time()
     rays_per_step = int(cfg.nerf.train.num_random_rays)
@@ -320,7 +339,7 @@ def train(
                 from nerface_tpu.train.distributed import global_batch
 
                 batch = global_batch(batch, mesh)
-            key, sub = jax.random.split(key)
+            sub = jax.random.fold_in(base_key, i)
             state, metrics = step_fn(state, batch, sub)
 
             if (i % print_every == 0 or i == train_iters - 1) and primary:

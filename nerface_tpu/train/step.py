@@ -176,10 +176,8 @@ def make_train_step(
             from jax.sharding import PartitionSpec as P
             from jax import shard_map
 
-            ray_keys = {
-                "ray_origins", "ray_directions", "target_rgb",
-                "background_rgb", "pixel_indices", "ray_index",
-            }
+            from nerface_tpu.train.distributed import RAY_KEYS as ray_keys
+
             in_specs = (
                 {k: P(data_axis) if k in ray_keys else P() for k in batch},
             )
@@ -190,6 +188,10 @@ def make_train_step(
                 )
                 grads = jax.lax.pmean(grads, data_axis)
                 metrics = jax.lax.pmean(metrics, data_axis)
+                # psnr is -10·log10(mse): mean-of-log != log-of-mean, so
+                # recompute it from the pmean'd loss to match what a
+                # single device computes over the full batch
+                metrics["psnr"] = mse2psnr_jnp(metrics["loss"])
                 total = jax.lax.pmean(total, data_axis)
                 return total, metrics, grads
 

@@ -123,6 +123,20 @@ class TestRayFeed:
             batch["target_rgb"], ds.images[idx].reshape(-1, 3)[sel], atol=1e-7
         )
 
+    def test_counter_stream_resumes_exactly(self, synth_dir):
+        """Batch b depends only on (seed, b): a feed constructed with
+        start_batch=k continues the uninterrupted stream from batch k —
+        a resumed training run sees the exact batches the original run
+        would have seen."""
+        ds = load_flame_data(synth_dir)
+        ref = RayFeed(ds, num_rays=32, seed=7)
+        stream = [ref.sample_batch() for _ in range(6)]
+        resumed = RayFeed(ds, num_rays=32, seed=7, start_batch=3)
+        for want in stream[3:]:
+            got = resumed.sample_batch()
+            for k in ("pixel_indices", "frame_index", "target_rgb"):
+                np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
     def test_prefetch_thread(self, synth_dir):
         ds = load_flame_data(synth_dir)
         with RayFeed(ds, num_rays=16, seed=0) as feed:

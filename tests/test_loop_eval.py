@@ -127,6 +127,39 @@ class TestTrainLoop:
         state2 = train(cfg2, load_checkpoint=latest, log=False)
         assert int(state2.step) == 15
 
+    def test_resume_is_bit_identical_to_uninterrupted(self, synth_dir, tmp_path):
+        """Counter-based step keys + counter-based feed stream: training
+        N iters straight == training k, checkpointing, and resuming for
+        the remaining N-k — bitwise identical params. (Before this
+        guarantee, a resume replayed the step-0 randomness.)"""
+        cfg_a = _tiny_cfg(synth_dir, str(tmp_path / "one_shot"), train_iters=8)
+        full = train(cfg_a, log=False)
+
+        cfg_b = _tiny_cfg(synth_dir, str(tmp_path / "two_legs"), train_iters=8)
+        train(cfg_b, log=False, max_iters=4)
+        logdir = os.path.join(str(tmp_path / "two_legs"), "tiny")
+        latest = ckpt_lib.latest_checkpoint(logdir)
+        assert latest is not None
+        resumed = train(cfg_b, load_checkpoint=latest, log=False)
+        assert int(resumed.step) == 8
+
+        flat_a = jax.tree_util.tree_leaves_with_path(full.params)
+        flat_b = dict(jax.tree_util.tree_leaves_with_path(resumed.params))
+        for path, leaf in flat_a:
+            if leaf is None:
+                continue
+            np.testing.assert_array_equal(
+                np.asarray(leaf), np.asarray(flat_b[path]),
+                err_msg=jax.tree_util.keystr(path),
+            )
+
+    def test_missing_checkpoint_path_fails_loudly(self, synth_dir, tmp_path):
+        """A typo'd --load-checkpoint must not silently restart a long
+        schedule from scratch."""
+        cfg = _tiny_cfg(synth_dir, str(tmp_path / "logs_missing"), train_iters=2)
+        with pytest.raises(FileNotFoundError, match="load-checkpoint"):
+            train(cfg, load_checkpoint=str(tmp_path / "no_such_ckpt"), log=False)
+
     def test_resume_from_torch_checkpoint(self, synth_dir, tmp_path):
         cfg = _tiny_cfg(synth_dir, str(tmp_path / "logs3"), train_iters=11)
         state = train(cfg, log=False, export_torch=True)

@@ -221,6 +221,53 @@ class TestResumeKeepsTrainingAuxParams:
         )
 
 
+class TestImportGuards:
+    def test_latent_ckpt_into_latentless_template_is_skipped(
+        self, rng, flagship_pair
+    ):
+        """A torch ckpt carrying latent_codes imported into a template
+        whose config doesn't train them must NOT add the leaf: the
+        optimizer state tree was built without it, and the first update
+        would die with an opaque pytree-structure mismatch."""
+        from nerface_tpu.train import checkpoint as ckpt_lib
+
+        model_c, model_f = flagship_pair
+        cfg = _cfg()
+        # The realistic latentless template: the --disable_latent_codes
+        # ablation (model consumes zeros, no table is trained) — the
+        # flagship model itself always wants a latent segment.
+        flags_latentless = FeatureFlags(
+            train_latent_codes=False, regularize_latent_codes=False,
+            disable_latent_codes=True,
+        )
+        template, opt = create_train_state(
+            jax.random.PRNGKey(0), model_c, model_f, cfg,
+            flags_latentless, n_train=4,
+            background=jnp.zeros((8, 8, 3)),
+        )
+        assert template.params.get("latent_codes") is None
+        donor, _ = create_train_state(
+            jax.random.PRNGKey(1), model_c, model_f, cfg, FeatureFlags(),
+            n_train=4, background=jnp.zeros((8, 8, 3)),
+        )
+        ckpt = {
+            "coarse": {k: np.asarray(v) for k, v in donor.params["coarse"].items()},
+            "fine": {k: np.asarray(v) for k, v in donor.params["fine"].items()},
+            "latent_codes": np.ones((4, 32), np.float32),
+            "background": None,
+            "optimizer": None,
+            "iter": 3,
+        }
+        resumed = ckpt_lib.import_torch_weights(template, ckpt)
+        assert resumed.params.get("latent_codes") is None
+        # and the optimizer still accepts the tree — the crash this guards
+        step = make_train_step(
+            model_c, model_f, _settings(), flags_latentless, opt,
+            donate=False,
+        )
+        step(resumed, _batch(rng), jax.random.PRNGKey(2))
+
+
 class TestSchedule:
     def test_reference_curve(self):
         # the reference sets the new LR after each step
