@@ -69,6 +69,25 @@ def build_parser() -> argparse.ArgumentParser:
         help="Give up after this many restarts (limit + crash combined).",
     )
     parser.add_argument(
+        "--outage-probe-seconds", type=float, default=120.0,
+        help="After a child dies having never written to the logdir, "
+             "probe the accelerator backend in a subprocess; while it is "
+             "unreachable, wait this long between probes instead of "
+             "relaunching the (heavy) train child into a dead tunnel. "
+             "Probe-failed cycles never count against --max-restarts. "
+             "0 disables the gate.",
+    )
+    parser.add_argument(
+        "--outage-probe-timeout-seconds", type=float, default=100.0,
+        help="Per-probe subprocess timeout (a dead tunnel HANGS "
+             "jax.devices(); it must be killed, not waited on).",
+    )
+    parser.add_argument(
+        "--outage-probe-command", type=str, default="",
+        help=argparse.SUPPRESS,  # test hook: shell command standing in for
+        # the jax.devices() backend probe
+    )
+    parser.add_argument(
         "--grace-seconds", type=float, default=30.0,
         help="SIGTERM→SIGKILL escalation window on a limit stop.",
     )
@@ -165,6 +184,45 @@ def child_argv(
     if ckpt:
         argv += ["--load-checkpoint", ckpt]
     return argv
+
+
+def backend_ready(args) -> bool:
+    """One backend-liveness probe in a throwaway subprocess.
+
+    The production probe imports jax and lists devices under the default
+    (tunneled) backend — on a dead tunnel that HANGS rather than erroring
+    (observed in the round-3 outage), so the subprocess is killed at
+    --outage-probe-timeout-seconds and the probe reports down."""
+    if args.outage_probe_command:
+        argv = ["/bin/sh", "-c", args.outage_probe_command]
+    else:
+        argv = [sys.executable, "-c", "import jax; jax.devices()"]
+    try:
+        rc = subprocess.run(
+            argv,
+            timeout=args.outage_probe_timeout_seconds,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        ).returncode
+    except subprocess.TimeoutExpired:
+        return False
+    return rc == 0
+
+
+def wait_for_backend(args) -> None:
+    """Block until `backend_ready` — the cheap stand-in for relaunching
+    the train child into a dead tunnel every stall-timeout cycle."""
+    while True:
+        time.sleep(args.outage_probe_seconds)
+        if backend_ready(args):
+            print("[SUPERVISE] backend reachable again — relaunching",
+                  flush=True)
+            return
+        print(
+            "[SUPERVISE] backend still unreachable; next probe in "
+            f"{args.outage_probe_seconds:.0f}s",
+            flush=True,
+        )
 
 
 def stop_child(proc: subprocess.Popen, grace_seconds: float) -> None:
@@ -268,7 +326,29 @@ def _supervise_loop(args, train_args, user_ckpt, logdir, restarts) -> int:
         if not limit_hit:
             print(f"[SUPERVISE] child exited {code} — restarting from "
                   "latest checkpoint", flush=True)
-        if not free_recycle:
+        # A child that died having never written is either an
+        # infrastructure outage or a real config/code error. Disambiguate
+        # with a backend probe: unreachable backend ⇒ outage — don't
+        # burn the restart budget (a crash-looping init would otherwise
+        # exhaust it in minutes) and don't relaunch the heavy child into
+        # a dead tunnel; wait for the probe to come back instead.
+        wrote_any = newest_mtime(logdir) > launched
+        outage = free_recycle
+        if (
+            not wrote_any
+            and args.outage_probe_seconds > 0
+            and not backend_ready(args)
+        ):
+            outage = True
+        if outage:
+            if args.outage_probe_seconds > 0:
+                print(
+                    "[SUPERVISE] backend outage suspected — gating "
+                    "relaunch on a backend probe",
+                    flush=True,
+                )
+                wait_for_backend(args)
+        else:
             restarts += 1
         if restarts > args.max_restarts:
             print("[SUPERVISE] max restarts exceeded — giving up", flush=True)

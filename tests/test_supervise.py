@@ -225,12 +225,73 @@ class TestSupervise:
             _args(
                 ["--stall-timeout-seconds", "10", "--poll-seconds", "0.5",
                  "--grace-seconds", "5", "--max-restarts", "1",
+                 "--outage-probe-seconds", "0.2",
+                 "--outage-probe-command", "true",
                  "--child-module", "fake_outage", "--", "--config", cfg]
             )
         )
         assert rc == 0
         runs = (state / "runs.txt").read_text().splitlines()
         assert len(runs) == 3  # 2 free outage recycles + the success
+
+    def test_backend_probe(self, tmp_path):
+        from nerface_tpu.cli.supervise import backend_ready
+
+        assert backend_ready(_args(
+            ["--outage-probe-command", "true", "--"])) is True
+        assert backend_ready(_args(
+            ["--outage-probe-command", "false", "--"])) is False
+        # a dead tunnel HANGS the probe — the timeout must kill it
+        assert backend_ready(_args(
+            ["--outage-probe-command", "sleep 30",
+             "--outage-probe-timeout-seconds", "0.5", "--"])) is False
+
+    def test_crash_loop_during_outage_gates_on_probe(self, tmp_path):
+        """A child that crash-loops in backend init during an outage
+        (observed in the round-3 tunnel outage: RuntimeError from
+        xla_bridge, exit 1, no logdir writes) must not burn the restart
+        budget; the supervisor waits for the backend probe instead of
+        relaunching into the dead tunnel."""
+        import textwrap as tw
+
+        state = tmp_path / "state"  # OUTSIDE the supervised logdir
+        mod_f = tmp_path / "fake_initcrash.py"
+        mod_f.write_text(tw.dedent(f"""
+            import os, sys
+            state = {str(state)!r}
+            os.makedirs(state, exist_ok=True)
+            runs_f = os.path.join(state, "runs.txt")
+            with open(runs_f, "a") as f:
+                f.write("x" + chr(10))
+            if sum(1 for _ in open(runs_f)) <= 2:
+                sys.exit(1)  # backend-init crash: instant, no writes
+            sys.exit(0)
+        """))
+        os.environ["PYTHONPATH"] = (
+            str(tmp_path) + os.pathsep + os.environ.get("PYTHONPATH", "")
+        )
+        cfg = _write_cfg(tmp_path)
+        # probe succeeds from its 3rd invocation: the "tunnel" comes back
+        # while run 2's crash is being adjudicated
+        probe_n = tmp_path / "probe_n"
+        probe = (
+            f"n=$(cat {probe_n} 2>/dev/null || echo 0); n=$((n+1)); "
+            f"echo $n > {probe_n}; [ $n -ge 3 ]"
+        )
+        rc = supervise(
+            _args(
+                ["--poll-seconds", "0.1", "--max-restarts", "1",
+                 "--outage-probe-seconds", "0.2",
+                 "--outage-probe-command", probe,
+                 "--child-module", "fake_initcrash", "--", "--config", cfg]
+            )
+        )
+        # run 1 crashes during the outage (free), run 2 crashes with the
+        # backend up (burns the single restart), run 3 completes —
+        # rc == 0 proves the outage crash did not count
+        assert rc == 0
+        runs = (state / "runs.txt").read_text().splitlines()
+        assert len(runs) == 3
 
     def test_newest_mtime(self, tmp_path):
         from nerface_tpu.cli.supervise import newest_mtime
