@@ -78,6 +78,23 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
+import os as _os
+
+# In-kernel matmul precision knobs (read once at import; probe scripts run
+# each mode in a subprocess). Production default is DEFAULT — the single-
+# pass bf16-operand f32-accumulate MXU mode the round-3 loop-level parity
+# rehearsal (PARITY.md) and the 1M-iteration / 512² quality runs
+# (BENCH_NOTES.md) were validated with. HIGHEST measures −5.5% on the
+# train step (PE −6%, cumprod −2%, overlapping) for no measurable output
+# change on trained fields (tools/perf/pe_precision_probe.py); the f32
+# XLA parity path keeps Precision.HIGHEST in its own ops
+# (ops/encoding.py, render/pipeline.py) where bit-parity is the contract.
+_PE_MODE = _os.environ.get("NERFACE_PE_PRECISION", "DEFAULT")
+CUMPROD_PRECISION = getattr(
+    jax.lax.Precision, _os.environ.get("NERFACE_CUMPROD_PRECISION", "DEFAULT")
+)
+
+
 def _dot(a, b):
     """bf16 MXU matmul with f32 accumulation."""
     return jax.lax.dot_general(
@@ -89,16 +106,32 @@ def _dot(a, b):
 
 
 def _encode_in_kernel(x3, C, phase):
-    """Positional encoding in VMEM: enc = sin(x @ C + phase), f32 throughout
-    (bf16 would corrupt the high-frequency band arguments). HIGHEST
-    precision: the MXU's default single-pass f32 matmul rounds operands
-    to bf16, which at the 2^9 top band costs up to ~0.35 rad of sin
-    argument — the very corruption computing the PE in f32 is meant to
-    avoid (same fix as the resample kernel's cdf matmul below)."""
-    t = jax.lax.dot_general(
-        x3, C, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    """Positional encoding in VMEM: enc = sin(x @ C + phase).
+
+    Precision (NERFACE_PE_PRECISION, default DEFAULT — see knob note
+    above): the MXU's single-pass f32 matmul rounds operands to bf16,
+    which at the 2^9 top band perturbs the sin argument by up to
+    ~0.35 rad — but top-band PE features feed a bf16 network, and the
+    end-to-end evidence (bf16 rehearsal, 512² runs) was all gathered in
+    this mode; HIGHEST (6 passes) measures −6% train step for no
+    measured output change. SPLIT is the middle ground kept for probing:
+    a two-pass bf16 split of x3 (hi = bf16(x3), lo = x3 − hi; C's
+    entries are powers of two, exact in bf16) gives f32-grade arguments
+    (~0.004 rad top-band error) at −2.6% step cost."""
+    dims = (((1,), (0,)), ((), ()))
+    if _PE_MODE == "SPLIT":
+        hi = x3.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = x3 - hi
+        t = jax.lax.dot_general(
+            hi, C, dims, preferred_element_type=jnp.float32
+        ) + jax.lax.dot_general(
+            lo, C, dims, preferred_element_type=jnp.float32
+        )
+    else:
+        t = jax.lax.dot_general(
+            x3, C, dims, preferred_element_type=jnp.float32,
+            precision=getattr(jax.lax.Precision, _PE_MODE),
+        )
     return jnp.sin(t + phase)
 
 
@@ -650,7 +683,7 @@ def _render_kernel(n_rays, n_samples, small, has_bg, white_background,
         jax.lax.dot_general(
             log_t, tri_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=CUMPROD_PRECISION,
         )
     )
     weights = alpha * trans
@@ -799,7 +832,7 @@ def _resample_kernel(n_coarse, n_fine, sorted_u, *refs):
     cdf = jax.lax.dot_general(
         pdf, tri_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=CUMPROD_PRECISION,
     )                                   # (tr, Sc-1)
     bins = 0.5 * (z[:, 1:] + z[:, :-1])  # (tr, Sc-1) z-midpoints
 

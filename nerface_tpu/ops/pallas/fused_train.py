@@ -44,6 +44,7 @@ from nerface_tpu.ops.pallas import fused_mlp as _fm
 from nerface_tpu.ops.pallas.fused_mlp import (
     _PALLAS_OK,
     BIAS_NAMES,
+    CUMPROD_PRECISION,
     DIR_HIDDEN,
     HIDDEN,
     WEIGHT_NAMES,
@@ -156,7 +157,7 @@ def _train_kernel(
         jax.lax.dot_general(
             log_t, tri_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=CUMPROD_PRECISION,
         )
     )
     weights = alpha * trans
@@ -199,7 +200,7 @@ def _train_kernel(
     g_log_t = jax.lax.dot_general(
         g_trans * trans, tri_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=CUMPROD_PRECISION,
     )
     # log_t = log(omae + 1e-10); alpha = 1 − omae
     g_omae = g_log_t / (one_minus_alpha + 1e-10) - g_alpha_c
