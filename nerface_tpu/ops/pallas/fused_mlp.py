@@ -84,15 +84,43 @@ import os as _os
 # each mode in a subprocess). Production default is DEFAULT — the single-
 # pass bf16-operand f32-accumulate MXU mode the round-3 loop-level parity
 # rehearsal (PARITY.md) and the 1M-iteration / 512² quality runs
-# (BENCH_NOTES.md) were validated with. HIGHEST measures −5.5% on the
-# train step (PE −6%, cumprod −2%, overlapping) for no measurable output
-# change on trained fields (tools/perf/pe_precision_probe.py); the f32
+# (BENCH_NOTES.md) were validated with. Throughput cost and end-to-end
+# quality of each mode are recorded in BENCH_NOTES.md "In-kernel
+# precision" (measured by tools/perf/pe_precision_probe.py). The f32
 # XLA parity path keeps Precision.HIGHEST in its own ops
 # (ops/encoding.py, render/pipeline.py) where bit-parity is the contract.
+# NOTE: the fused resample's cdf matmul is pinned at HIGHEST regardless of
+# these knobs — it carries an exact-match contract with ops/sampling
+# (see _resample_kernel).
+_PE_ALLOWED = ("DEFAULT", "HIGHEST", "SPLIT")
+_CUMPROD_ALLOWED = ("DEFAULT", "HIGH", "HIGHEST")
 _PE_MODE = _os.environ.get("NERFACE_PE_PRECISION", "DEFAULT")
-CUMPROD_PRECISION = getattr(
-    jax.lax.Precision, _os.environ.get("NERFACE_CUMPROD_PRECISION", "DEFAULT")
-)
+if _PE_MODE not in _PE_ALLOWED:
+    raise ValueError(
+        f"NERFACE_PE_PRECISION={_PE_MODE!r} is not a valid PE precision "
+        f"mode; allowed values: {', '.join(_PE_ALLOWED)}"
+    )
+_CUMPROD_MODE = _os.environ.get("NERFACE_CUMPROD_PRECISION", "DEFAULT")
+if _CUMPROD_MODE not in _CUMPROD_ALLOWED:
+    raise ValueError(
+        f"NERFACE_CUMPROD_PRECISION={_CUMPROD_MODE!r} is not a valid "
+        f"lax.Precision name; allowed values: {', '.join(_CUMPROD_ALLOWED)}"
+    )
+CUMPROD_PRECISION = getattr(jax.lax.Precision, _CUMPROD_MODE)
+
+
+def check_pe_mode(log_sampling_xyz: bool) -> None:
+    """SPLIT's f32-grade-argument guarantee relies on the encoding matrix
+    C having power-of-two entries (exact in bf16), which holds only for
+    log-sampled frequency bands; linspace bands (log_sampling=False) round
+    in the bf16 operand pass and silently lose the claimed accuracy."""
+    if _PE_MODE == "SPLIT" and not log_sampling_xyz:
+        raise ValueError(
+            "NERFACE_PE_PRECISION=SPLIT requires log-sampled xyz frequency "
+            "bands (powers of two, exact in bf16); this model uses "
+            "log_sampling=False linspace bands. Use NERFACE_PE_PRECISION="
+            "HIGHEST for exact arguments with linear bands."
+        )
 
 
 def _dot(a, b):
@@ -115,9 +143,10 @@ def _encode_in_kernel(x3, C, phase):
     end-to-end evidence (bf16 rehearsal, 512² runs) was all gathered in
     this mode; HIGHEST (6 passes) measures −6% train step for no
     measured output change. SPLIT is the middle ground kept for probing:
-    a two-pass bf16 split of x3 (hi = bf16(x3), lo = x3 − hi; C's
-    entries are powers of two, exact in bf16) gives f32-grade arguments
-    (~0.004 rad top-band error) at −2.6% step cost."""
+    a two-pass bf16 split of x3 (hi = bf16(x3), lo = x3 − hi) gives
+    f32-grade arguments (~0.004 rad top-band error) at −2.6% step cost —
+    valid only with log-sampled bands, where C's entries are powers of
+    two and exact in bf16 (check_pe_mode rejects SPLIT otherwise)."""
     dims = (((1,), (0,)), ((), ()))
     if _PE_MODE == "SPLIT":
         hi = x3.astype(jnp.bfloat16).astype(jnp.float32)
@@ -598,6 +627,7 @@ def fused_paper_mlp(
     pre-folded into `dir_contrib` by the caller."""
     from nerface_tpu.ops.encoding import _encoding_matrix
 
+    check_pe_mode(log_sampling_xyz)
     n_rays, n_samples = z_vals.shape
     if rays_per_tile <= 0:
         rays_per_tile = _pick_rays_per_tile(n_rays, n_samples)
@@ -729,6 +759,7 @@ def fused_paper_render(
     inject_background + volume_render_radiance_field at noise_std=0."""
     from nerface_tpu.ops.encoding import _encoding_matrix
 
+    check_pe_mode(log_sampling_xyz)
     n_rays, n_samples = z_vals.shape
     tr = _pick_fwd_rays_per_tile(n_rays, n_samples)
     if n_rays % tr:
@@ -827,12 +858,15 @@ def _resample_kernel(n_coarse, n_fine, sorted_u, *refs):
     w = w_ref[:][:, 1:-1] + 1e-5       # (tr, Sc-2) — sample_pdf's weights[1:-1]
     pdf = w / jnp.sum(w, axis=-1, keepdims=True)
     # cdf = [0, cumsum(pdf)] as pdf @ U with U[j, i] = 1 if j < i.
-    # HIGHEST precision: the default bf16-pass f32 matmul costs ~1e-3 on
-    # the cdf, which shifts searchsorted bins vs the XLA cumsum.
+    # Pinned at HIGHEST (not CUMPROD_PRECISION): this site carries the
+    # exact-match contract with ops/sampling.sample_pdf stated above —
+    # a bf16-operand pass rounds the cdf by ~1e-3..4e-3, which shifts
+    # searchsorted bins and diverges fine-sample placement from the XLA
+    # sampler. It is also the cheapest of the three precision sites.
     cdf = jax.lax.dot_general(
         pdf, tri_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=CUMPROD_PRECISION,
+        precision=jax.lax.Precision.HIGHEST,
     )                                   # (tr, Sc-1)
     bins = 0.5 * (z[:, 1:] + z[:, :-1])  # (tr, Sc-1) z-midpoints
 

@@ -318,6 +318,7 @@ def fused_train_pass(
     """
     from nerface_tpu.ops.encoding import _encoding_matrix
 
+    _fm.check_pe_mode(log_sampling_xyz)
     n_rays, n_samples = z_vals.shape
     tr = _pick_rays_per_tile(n_rays, n_samples)
     grid = (n_rays // tr,)

@@ -594,3 +594,54 @@ class TestFlexFamilyKernel:
         )
         assert calls, "flex kernel was not dispatched"
         assert np.isfinite(np.asarray(out["rgb_fine"])).all()
+
+
+class TestPrecisionKnobValidation:
+    """ADVICE r3: env knobs must fail eagerly with a clear message, and
+    SPLIT must be rejected for linspace (non-power-of-two) bands."""
+
+    def test_check_pe_mode_split_rejects_linear_bands(self, monkeypatch):
+        from nerface_tpu.ops.pallas import fused_mlp as fm
+
+        monkeypatch.setattr(fm, "_PE_MODE", "SPLIT")
+        with pytest.raises(ValueError, match="log-sampled"):
+            fm.check_pe_mode(False)
+        fm.check_pe_mode(True)  # log bands: fine
+
+    def test_check_pe_mode_other_modes_accept_linear_bands(self, monkeypatch):
+        from nerface_tpu.ops.pallas import fused_mlp as fm
+
+        for mode in ("DEFAULT", "HIGHEST"):
+            monkeypatch.setattr(fm, "_PE_MODE", mode)
+            fm.check_pe_mode(False)
+
+    @pytest.mark.parametrize(
+        "var,val",
+        [("NERFACE_PE_PRECISION", "HIGH EST"),
+         ("NERFACE_CUMPROD_PRECISION", "SPLIT")],
+    )
+    def test_bad_env_value_raises_named_error_at_import(self, var, val):
+        import subprocess
+        import sys
+
+        code = (
+            "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+            "import nerface_tpu.ops.pallas.fused_mlp\n"
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            env={**__import__('os').environ, var: val},
+            capture_output=True, text=True,
+        )
+        assert proc.returncode != 0
+        assert var in proc.stderr and "allowed values" in proc.stderr
+
+    def test_resample_cdf_matmul_pinned_highest(self):
+        # the exact-match contract site must not follow the env knob
+        import inspect
+
+        from nerface_tpu.ops.pallas import fused_mlp as fm
+
+        src = inspect.getsource(fm._resample_kernel)
+        assert "precision=jax.lax.Precision.HIGHEST" in src
+        assert "precision=CUMPROD_PRECISION" not in src
