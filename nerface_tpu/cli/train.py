@@ -50,6 +50,14 @@ def build_parser() -> argparse.ArgumentParser:
              "instead of the host feed.",
     )
     parser.add_argument(
+        "--steps-per-execute", type=int, default=None, metavar="K",
+        help="Run K train steps per dispatched program (lax.scan window; "
+             "one host->device upload per window). Default: auto — 50 for "
+             "production-length schedules, shrunk to divide the "
+             "print/validate/save cadences; 1 for short runs. Bit-parity "
+             "with K=1 is guaranteed (tests/test_megastep.py).",
+    )
+    parser.add_argument(
         "--coordinator-address", type=str, default=None, metavar="HOST:PORT",
         help="jax.distributed coordinator; with --num-processes/--process-id "
              "this process joins a multi-host mesh and trains data-parallel "
@@ -153,6 +161,7 @@ def main(argv=None) -> None:
             export_torch=args.export_torch,
             dtype=jnp.bfloat16 if args.bf16 else None,
             device_feed=args.device_feed,
+            steps_per_execute=args.steps_per_execute,
         )
 
 

@@ -117,15 +117,21 @@ class DeviceRayFeed:
         """Return a jitted `sample(key) -> batch` drawing one train frame
         uniformly and `num_rays` pixels without replacement from its bbox
         importance map."""
+        return jax.jit(self.unjit_sampler())
 
-        @jax.jit
+    def unjit_sampler(self):
+        """The same `sample(key) -> batch` WITHOUT the jit wrapper — for
+        composing inside a larger jitted program (the K-steps-per-dispatch
+        train scan, `train/step.py::make_train_megastep`), where batch k is
+        drawn in-scan with the feed's counter-keyed stream."""
+
         def sample(key: jax.Array) -> Dict[str, jnp.ndarray]:
             k_frame, k_pix = jax.random.split(key)
             return self._draw(k_frame, k_pix)
 
         return sample
 
-    def make_mesh_sampler(self, mesh, data_axis: str = "data"):
+    def make_mesh_sampler(self, mesh, data_axis: str = "data", jit: bool = True):
         """Per-device sampling for a data-parallel mesh — the feed's target
         regime (many chips per host, where a host feed would bottleneck).
 
@@ -148,7 +154,6 @@ class DeviceRayFeed:
         # of shard (or vice versa) on multi-device runs
         from nerface_tpu.train.distributed import RAY_KEYS as ray_keys
 
-        @jax.jit
         def sample(key: jax.Array) -> Dict[str, jnp.ndarray]:
             k_frame, k_pix = jax.random.split(key)
             per_dev = jax.vmap(
@@ -168,4 +173,4 @@ class DeviceRayFeed:
                     )
             return out
 
-        return sample
+        return jax.jit(sample) if jit else sample

@@ -80,6 +80,97 @@ def load_checkpoint(path: str, state_template: TrainState) -> TrainState:
     )
 
 
+# -- async checkpointing (single-transfer state pull) -------------------------
+
+
+def make_state_flattener(state: TrainState):
+    """Build `(flatten, unflatten)` for pulling a TrainState off the device
+    in ONE transfer.
+
+    Why: on the tunneled axon backend every per-leaf `np.asarray` pays a
+    host round trip — a ~300-leaf TrainState costs ~20 s per checkpoint
+    save (BENCH_NOTES.md round-4 ledger), which at the paper schedule's
+    save_every=5000 is ~4 ms/step of pure blocking. `flatten` is one jitted
+    program that bitcasts every leaf to bytes and concatenates into a
+    single uint8 vector (one dispatch; caller pulls it with one transfer);
+    `unflatten` rebuilds the numpy TrainState host-side.
+    """
+    leaves, treedef = jax.tree.flatten(state)
+    specs = [(tuple(np.shape(l)), np.dtype(l.dtype)) for l in leaves]
+    nbytes = [int(np.prod(s, dtype=np.int64)) * d.itemsize for s, d in specs]
+    offsets = np.concatenate([[0], np.cumsum(nbytes)]).astype(np.int64)
+
+    @jax.jit
+    def flatten(st: TrainState) -> jnp.ndarray:
+        parts = []
+        for x in jax.tree.leaves(st):
+            x = jnp.asarray(x)
+            if x.dtype.itemsize > 1:
+                x = jax.lax.bitcast_convert_type(x, jnp.uint8)
+            else:
+                x = x.astype(jnp.uint8)
+            parts.append(x.reshape(-1))
+        return jnp.concatenate(parts)
+
+    def unflatten(buf) -> TrainState:
+        buf = np.asarray(buf, dtype=np.uint8)
+        out = []
+        for (shape, dt), o, n in zip(specs, offsets[:-1], nbytes):
+            out.append(
+                np.frombuffer(buf[o:o + n].tobytes(), dtype=dt).reshape(shape)
+            )
+        return jax.tree.unflatten(treedef, out)
+
+    return flatten, unflatten
+
+
+class AsyncCheckpointWriter:
+    """Checkpoint writes off the training thread.
+
+    The caller dispatches `flatten(state)` (device-side byte concat —
+    returns without syncing) and submits the flat buffer here; one worker
+    thread pulls it (a single transfer) and runs the orbax save plus the
+    optional torch export while the train loop keeps dispatching steps.
+    At most one write is in flight — a second `submit` first drains the
+    previous one, bounding host memory to one state snapshot. `finish()`
+    joins the worker and re-raises any write error; call it before
+    reading the checkpoint directory (tests, end of training).
+    """
+
+    def __init__(self, unflatten):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._unflatten = unflatten
+        self._pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt-writer"
+        )
+        self._future = None
+
+    def submit(self, ckpt_dir: str, flat_dev, metrics=None, torch_export=None):
+        self.drain()
+        self._future = self._pool.submit(
+            self._write, ckpt_dir, flat_dev, metrics, torch_export
+        )
+
+    def _write(self, ckpt_dir, flat_dev, metrics, torch_export):
+        state = self._unflatten(np.asarray(flat_dev))
+        if metrics is not None:
+            metrics = {k: float(np.asarray(v)) for k, v in metrics.items()}
+        path = save_checkpoint(ckpt_dir, state, metrics)
+        if torch_export is not None:
+            torch_export(state, metrics or {})
+        return path
+
+    def drain(self):
+        if self._future is not None:
+            fut, self._future = self._future, None
+            fut.result()
+
+    def finish(self):
+        self.drain()
+        self._pool.shutdown(wait=True)
+
+
 def checkpoint_step(path: str) -> int:
     """Step number encoded in a `checkpoint{step}` basename (-1 if none).
 

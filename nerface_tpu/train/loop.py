@@ -167,6 +167,25 @@ def validate(
     return metrics
 
 
+def _effective_window(requested, cadences, multiprocess: bool) -> int:
+    """Largest execution-window size K ≤ `requested` that divides every
+    active cadence, so print/validate/save boundaries always land on a
+    window end (the loop bookkeeps at step j with the state AFTER step j —
+    exactly the sequential loop's semantics).
+
+    Multi-process runs stay at K=1: the host feed's `global_batch`
+    process-exchange happens per step outside jit."""
+    if multiprocess:
+        return 1
+    cad = [int(c) for c in cadences if c and int(c) > 0]
+    k = max(1, int(requested))
+    if cad:
+        k = min([k] + cad)
+    while k > 1 and any(c % k for c in cad):
+        k -= 1
+    return k
+
+
 def train(
     cfg: CfgNode,
     load_checkpoint: str = "",
@@ -177,6 +196,7 @@ def train(
     export_torch: bool = False,
     dtype=None,
     device_feed: bool = False,
+    steps_per_execute: Optional[int] = None,
 ) -> TrainState:
     """Run training per the config; returns the final TrainState.
 
@@ -186,6 +206,15 @@ def train(
     contributes its local ray block (`train/distributed.py::global_batch`);
     logging/checkpoint IO happens on process 0 only, and validation renders
     process-locally (full-frame eval does not span hosts).
+
+    `steps_per_execute` (or `cfg.experiment.steps_per_execute`) sets the
+    execution window K: K train steps run as ONE dispatched `lax.scan`
+    (`train/step.py::make_train_megastep`), with one host→device batch
+    upload per window instead of per step, metric pulls and checkpoint
+    writes on background threads, and a single-transfer state pull for
+    saves. Bit-parity with K=1 is pinned by tests/test_megastep.py; the
+    measured per-cause ledger is in BENCH_NOTES.md (round 4). Default:
+    auto — 50 for production-length schedules, 1 for short runs.
     """
     flags = FeatureFlags.from_cfg(cfg)
     multiprocess = jax.process_count() > 1
@@ -255,11 +284,33 @@ def train(
             "at production batch size — BENCH_NOTES.md; repro in "
             "tools/perf/flat_adam_donation_repro.py)"
         )
-    step_fn = make_train_step(
-        model_coarse, model_fine, settings, flags, optimizer, mesh=mesh,
-        dtype=dtype, donate=donate,
-    )
 
+    train_iters = int(max_iters if max_iters is not None else cfg.experiment.train_iters)
+    validate_every = int(cfg.experiment.validate_every)
+    save_every = int(cfg.experiment.save_every)
+    print_every = int(cfg.experiment.print_every)
+
+    # Execution-window size: explicit arg > config > auto (50 for
+    # production-length schedules, where per-step host costs dominate the
+    # tunnel — BENCH_NOTES.md round-4 ledger; 1 for short/test runs so
+    # tiny trainings don't pay extra scan compiles).
+    k_req = steps_per_execute
+    if k_req is None:
+        k_req = cfg.experiment.get("steps_per_execute")
+    if k_req is None or str(k_req) == "auto":
+        k_req = 50 if train_iters >= 2000 else 1
+    k_exec = _effective_window(
+        k_req, [print_every, validate_every, save_every], multiprocess
+    )
+    use_mega = k_exec > 1
+    if use_mega and primary:
+        print(f"[train] execution window: {k_exec} steps/dispatch")
+
+    from nerface_tpu.train.step import make_train_megastep
+
+    step_fn = mega_fn = None
+    feed = None
+    feed_base = jax.random.PRNGKey(seed + 1)
     if device_feed:
         # fully on-device sampling: frame pick + Gumbel top-k + gathers in
         # one jitted fn; no per-step host work (scale-out variant)
@@ -272,28 +323,40 @@ def train(
         )
         # under a mesh every device draws its own ray batch in place
         # (feed's target regime: many chips per host)
-        sampler = (
-            dfeed.make_mesh_sampler(mesh) if mesh is not None
-            else dfeed.make_sampler()
-        )
-        feed_base = jax.random.PRNGKey(seed + 1)
-        feed_counter = int(state.step)  # counter-keyed: resume continues
-        # the uninterrupted run's draw sequence (same design as RayFeed)
+        if use_mega:
+            # the sampler runs INSIDE the train scan (one dispatch per K
+            # steps, zero per-step host work), keyed by the same
+            # counter-keyed stream the per-step feed would draw
+            sample_fn = (
+                dfeed.make_mesh_sampler(mesh, jit=False) if mesh is not None
+                else dfeed.unjit_sampler()
+            )
+            mega_fn = make_train_megastep(
+                model_coarse, model_fine, settings, flags, optimizer,
+                mesh=mesh, dtype=dtype, donate=donate, sample_fn=sample_fn,
+            )
+        else:
+            sampler = (
+                dfeed.make_mesh_sampler(mesh) if mesh is not None
+                else dfeed.make_sampler()
+            )
+            feed_counter = int(state.step)  # counter-keyed: resume continues
+            # the uninterrupted run's draw sequence (same design as RayFeed)
 
-        class _DeviceFeedIter:
-            def start(self):
-                return self
+            class _DeviceFeedIter:
+                def start(self):
+                    return self
 
-            def stop(self):
-                pass
+                def stop(self):
+                    pass
 
-            def __next__(self):
-                nonlocal feed_counter
-                sub = jax.random.fold_in(feed_base, feed_counter)
-                feed_counter += 1
-                return sampler(sub)
+                def __next__(self):
+                    nonlocal feed_counter
+                    sub = jax.random.fold_in(feed_base, feed_counter)
+                    feed_counter += 1
+                    return sampler(sub)
 
-        feed = _DeviceFeedIter()
+            feed = _DeviceFeedIter()
     else:
         feed = RayFeed(
             dataset,
@@ -304,11 +367,16 @@ def train(
             # stream (counter-based draws), not a replay of batch 0
             start_batch=int(state.step),
         ).start()
-
-    train_iters = int(max_iters if max_iters is not None else cfg.experiment.train_iters)
-    validate_every = int(cfg.experiment.validate_every)
-    save_every = int(cfg.experiment.save_every)
-    print_every = int(cfg.experiment.print_every)
+        if use_mega:
+            mega_fn = make_train_megastep(
+                model_coarse, model_fine, settings, flags, optimizer,
+                mesh=mesh, dtype=dtype, donate=donate,
+            )
+    if not use_mega:
+        step_fn = make_train_step(
+            model_coarse, model_fine, settings, flags, optimizer, mesh=mesh,
+            dtype=dtype, donate=donate,
+        )
 
     if multiprocess:
         # Initial state lives on this process's default device; a committed
@@ -332,42 +400,129 @@ def train(
         # n_devices x num_random_rays rays
         rays_per_step *= int(mesh.devices.size)
     metrics = {}
-    try:
-        for i in range(start_iter, train_iters):
-            batch = next(feed)
-            if multiprocess:
-                from nerface_tpu.train.distributed import global_batch
 
-                batch = global_batch(batch, mesh)
-            sub = jax.random.fold_in(base_key, i)
-            state, metrics = step_fn(state, batch, sub)
+    # -- background IO: metric pulls + checkpoint writes off the dispatch
+    # thread. On the tunneled backend every host read is a round trip
+    # (~0.05-0.3 s); the round-4 ledger (tools/perf/loop_breakdown.py)
+    # measured per-print float() pulls at 12.5 ms/step and a per-leaf
+    # orbax save at 20 s — both now overlap training.
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
 
-            if (i % print_every == 0 or i == train_iters - 1) and primary:
-                m = {k: float(v) for k, v in metrics.items()}
-                elapsed = time.time() - t_start
-                rays_s = rays_per_step * (i - start_iter + 1) / max(elapsed, 1e-9)
-                print(
-                    f"[TRAIN] Iter: {i} Loss: {m['total_loss']:.6f} "
-                    f"BG Loss: {m['background_loss']:.6f} PSNR: {m['psnr']:.3f} "
-                    f"LatentReg: {m['latent_code_loss']:.6f} "
-                    f"rays/s: {rays_s:,.0f}"
+    io_pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="train-log")
+    ckpt_writer = None
+    flatten_state = None
+    torch_export = None
+    if not multiprocess:
+        flatten_state, unflatten_state = ckpt_lib.make_state_flattener(state)
+        ckpt_writer = ckpt_lib.AsyncCheckpointWriter(unflatten_state)
+        if export_torch and primary:
+            from nerface_tpu.train.schedule import from_cfg as _sched
+
+            _schedule = _sched(cfg)
+
+            def torch_export(host_state, m):
+                ckpt_lib.export_torch_checkpoint(
+                    os.path.join(
+                        logdir, f"checkpoint{int(host_state.step):05d}.ckpt"
+                    ),
+                    host_state,
+                    loss=float(m.get("total_loss", 0.0)),
+                    psnr=float(m.get("psnr", 0.0)),
+                    key_order=canonical_order,
+                    lr=float(_schedule(int(host_state.step))),
                 )
-                writer.scalar("train/coarse_loss", m["coarse_loss"], i)
-                writer.scalar("train/fine_loss", m["fine_loss"], i)
-                writer.scalar("train/psnr", m["psnr"], i)
-                writer.scalar("train/rays_per_sec", rays_s, i)
-                # Host-RSS observability for long schedules: the
-                # tunneled backend leaks ~the per-step input batch per
-                # iteration (BENCH_NOTES.md "Paper-schedule run"); this
-                # scalar makes the growth visible so operators can plan
-                # a periodic checkpoint-resume before memory pressure.
-                writer.scalar("host/rss_gb", _host_rss_gb(), i)
-                if flags.train_latent_codes:
-                    writer.scalar("train/code_loss", m["latent_code_loss"], i)
-                if flags.supervised_train_background:
-                    writer.scalar("train/bg_loss", m["background_loss"], i)
 
-            if validate_every > 0 and i % validate_every == 0 and len(dataset.i_val):
+    _log_prev = {"t": None, "n": 0}
+
+    def _log_train(row, j, n_done):
+        # io thread: the device_get blocks until step j has actually
+        # executed, so `elapsed` measures completed work, not dispatch.
+        m = {k: float(v) for k, v in jax.device_get(row).items()}
+        now = time.time()
+        elapsed = now - t_start
+        rays_s = rays_per_step * n_done / max(elapsed, 1e-9)
+        inst = rays_s
+        if _log_prev["t"] is not None and n_done > _log_prev["n"]:
+            inst = (
+                rays_per_step * (n_done - _log_prev["n"])
+                / max(now - _log_prev["t"], 1e-9)
+            )
+        _log_prev["t"], _log_prev["n"] = now, n_done
+        print(
+            f"[TRAIN] Iter: {j} Loss: {m['total_loss']:.6f} "
+            f"BG Loss: {m['background_loss']:.6f} PSNR: {m['psnr']:.3f} "
+            f"LatentReg: {m['latent_code_loss']:.6f} "
+            f"rays/s: {rays_s:,.0f} (inst {inst:,.0f})"
+        )
+        writer.scalar("train/coarse_loss", m["coarse_loss"], j)
+        writer.scalar("train/fine_loss", m["fine_loss"], j)
+        writer.scalar("train/psnr", m["psnr"], j)
+        writer.scalar("train/rays_per_sec", rays_s, j)
+        writer.scalar("train/rays_per_sec_inst", inst, j)
+        # Host-RSS observability for long schedules (the tunneled
+        # backend historically leaked the per-step input batch —
+        # BENCH_NOTES.md; the window feed divides that by K).
+        writer.scalar("host/rss_gb", _host_rss_gb(), j)
+        if flags.train_latent_codes:
+            writer.scalar("train/code_loss", m["latent_code_loss"], j)
+        if flags.supervised_train_background:
+            writer.scalar("train/bg_loss", m["background_loss"], j)
+
+    # Dispatch backpressure: without any host sync the dispatch thread
+    # would run ahead unboundedly (queueing uploads — the old RSS-leak
+    # shape). At each print boundary we enqueue the loss scalar and pull
+    # the PREVIOUS boundary's — one overlapped round trip per
+    # print_every steps bounds run-ahead to ~2 print windows.
+    _sync_q = deque()
+
+    def _backpressure(row):
+        _sync_q.append(row["total_loss"])
+        if len(_sync_q) > 1:
+            float(np.asarray(_sync_q.popleft()))
+
+    try:
+        i = start_iter
+        while i < train_iters:
+            # window [i .. j]: j is the next bookkeeping-eligible index
+            # (multiple of k_exec, where every active cadence lands), so
+            # bookkeeping at j sees the state AFTER step j — the exact
+            # sequential-loop semantics.
+            if use_mega:
+                j = i if i % k_exec == 0 else (i // k_exec + 1) * k_exec
+                j = min(j, train_iters - 1)
+                k_run = j - i + 1
+                if device_feed:
+                    state, ms = mega_fn(
+                        state, base_key, feed_base,
+                        jnp.asarray(i, jnp.int32), k_run,
+                    )
+                else:
+                    batches = [next(feed) for _ in range(k_run)]
+                    stacked = {
+                        k: np.stack([b[k] for b in batches])
+                        for k in batches[0]
+                    }
+                    state, ms = mega_fn(
+                        state, stacked, base_key, jnp.asarray(i, jnp.int32)
+                    )
+                metrics = jax.tree.map(lambda x: x[-1], ms)
+            else:
+                j = i
+                batch = next(feed)
+                if multiprocess:
+                    from nerface_tpu.train.distributed import global_batch
+
+                    batch = global_batch(batch, mesh)
+                sub = jax.random.fold_in(base_key, i)
+                state, metrics = step_fn(state, batch, sub)
+
+            if j % print_every == 0 or j == train_iters - 1:
+                _backpressure(metrics)
+                if primary:
+                    io_pool.submit(_log_train, metrics, j, j - start_iter + 1)
+
+            if validate_every > 0 and j % validate_every == 0 and len(dataset.i_val):
                 # Validation rides the same mesh as training: the frame's
                 # ray axis is sharded so all chips render, none idle.
                 # Multi-process: render process-locally instead (full-frame
@@ -382,39 +537,58 @@ def train(
                     )
                 vm = validate(
                     cfg, dataset, model_coarse, model_fine, val_state,
-                    background, flags, writer, i, dtype=dtype,
+                    background, flags, writer, j, dtype=dtype,
                     mesh=None if multiprocess else mesh,
                 )
                 if primary:
                     print(
-                        f"[VAL] Iter: {i} loss: {vm['loss']:.6f} "
+                        f"[VAL] Iter: {j} loss: {vm['loss']:.6f} "
                         f"PSNR: {vm['psnr']:.3f} time: {vm['time']:.2f}s"
                     )
 
-            if save_every > 0 and (i % save_every == 0 or i == train_iters - 1):
-                # EVERY process enters the save: orbax coordinates
-                # multi-process writes internally (a primary-only call
-                # deadlocks in its barrier sync); only process 0 touches
-                # the sidecar files.
-                path = ckpt_lib.save_checkpoint(
-                    logdir, state,
-                    {k: float(v) for k, v in metrics.items()} if primary
-                    else None,
-                )
-                if export_torch and primary:
-                    from nerface_tpu.train.schedule import from_cfg as _sched
-
-                    ckpt_lib.export_torch_checkpoint(
-                        os.path.join(logdir, f"checkpoint{int(state.step):05d}.ckpt"),
-                        state,
-                        loss=float(metrics.get("total_loss", 0.0)),
-                        psnr=float(metrics.get("psnr", 0.0)),
-                        key_order=canonical_order,
-                        lr=float(_sched(cfg)(int(state.step))),
+            if save_every > 0 and (j % save_every == 0 or j == train_iters - 1):
+                if ckpt_writer is not None:
+                    # one device-side byte-concat dispatch; the pull +
+                    # orbax write + torch export happen on the writer
+                    # thread while training continues
+                    ckpt_writer.submit(
+                        logdir, flatten_state(state),
+                        metrics=metrics if primary else None,
+                        torch_export=torch_export,
                     )
+                else:
+                    # EVERY process enters the save: orbax coordinates
+                    # multi-process writes internally (a primary-only call
+                    # deadlocks in its barrier sync); only process 0
+                    # touches the sidecar files.
+                    ckpt_lib.save_checkpoint(
+                        logdir, state,
+                        {k: float(v) for k, v in metrics.items()} if primary
+                        else None,
+                    )
+                    if export_torch and primary:
+                        from nerface_tpu.train.schedule import from_cfg as _msched
+
+                        ckpt_lib.export_torch_checkpoint(
+                            os.path.join(
+                                logdir, f"checkpoint{int(state.step):05d}.ckpt"
+                            ),
+                            state,
+                            loss=float(metrics.get("total_loss", 0.0)),
+                            psnr=float(metrics.get("psnr", 0.0)),
+                            key_order=canonical_order,
+                            lr=float(_msched(cfg)(int(state.step))),
+                        )
+            i = j + 1
     finally:
-        feed.stop()
-        writer.close()
+        try:
+            if feed is not None:
+                feed.stop()
+            if ckpt_writer is not None:
+                ckpt_writer.finish()
+        finally:
+            io_pool.shutdown(wait=True)
+            writer.close()
     return state
 
 

@@ -118,7 +118,7 @@ def _compute_losses(
     return total, metrics
 
 
-def make_train_step(
+def _build_step_fn(
     model_coarse,
     model_fine,
     settings: RenderSettings,
@@ -127,13 +127,10 @@ def make_train_step(
     mesh: Optional[jax.sharding.Mesh] = None,
     data_axis: str = "data",
     dtype=None,
-    donate: bool = True,
 ):
-    """Build the jitted `step(state, batch, key) -> (state, metrics)`.
-
-    With a mesh, the batch's ray axis is sharded over `data_axis`
-    (parameters replicated, gradients psum'd); without one, single-device.
-    """
+    """The un-jitted `step(state, batch, key) -> (state, metrics)` — shared
+    by the per-step jit (`make_train_step`) and the K-steps-per-dispatch
+    scan (`make_train_megastep`)."""
 
     def loss_fn(params, batch, key, fixed_background):
         return _compute_losses(
@@ -220,4 +217,100 @@ def make_train_step(
         metrics["total_loss"] = total
         return new_state, metrics
 
+    return step_fn
+
+
+def make_train_step(
+    model_coarse,
+    model_fine,
+    settings: RenderSettings,
+    flags: FeatureFlags,
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    data_axis: str = "data",
+    dtype=None,
+    donate: bool = True,
+):
+    """Build the jitted `step(state, batch, key) -> (state, metrics)`.
+
+    With a mesh, the batch's ray axis is sharded over `data_axis`
+    (parameters replicated, gradients psum'd); without one, single-device.
+    """
+    step_fn = _build_step_fn(
+        model_coarse, model_fine, settings, flags, optimizer,
+        mesh=mesh, data_axis=data_axis, dtype=dtype,
+    )
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_train_megastep(
+    model_coarse,
+    model_fine,
+    settings: RenderSettings,
+    flags: FeatureFlags,
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    data_axis: str = "data",
+    dtype=None,
+    donate: bool = True,
+    sample_fn=None,
+):
+    """K-steps-per-dispatch execution of the SAME per-step math, as one
+    `lax.scan` — the production fix for per-step host costs on a tunneled
+    backend (BENCH_NOTES.md round 4: one dispatch + one host→device upload
+    per K steps instead of per step).
+
+    Bit-parity contract (pinned by tests/test_megastep.py): step i inside
+    the scan draws `fold_in(base_key, i)` — exactly the key the sequential
+    loop (`train/loop.py`) folds — so a K-window run reproduces K
+    sequential `make_train_step` calls bit-for-bit.
+
+    Without `sample_fn`:
+        mega(state, batches, base_key, start_iter) -> (state, metrics)
+    where `batches` is a host-stacked batch pytree with leading axis K
+    (scan slices it), `start_iter` is a traced int32 scalar (no recompile
+    across windows), and `metrics` carries every step's scalars stacked on
+    a leading K axis (row k = step start_iter+k; the loop logs row K-1 at
+    cadence boundaries without pulling intermediate rows).
+
+    With `sample_fn` (an UN-jitted device-side sampler, e.g.
+    `DeviceRayFeed.unjit_sampler()`):
+        mega(state, base_key, feed_base, start_iter, n_steps) -> (state, metrics)
+    draws batch k inside the scan with `fold_in(feed_base, start_iter+k)`
+    (the device feed's counter-keyed stream) — zero per-step host work or
+    transfer. `n_steps` is static (one compile per distinct window size).
+    """
+    step_fn = _build_step_fn(
+        model_coarse, model_fine, settings, flags, optimizer,
+        mesh=mesh, data_axis=data_axis, dtype=dtype,
+    )
+
+    if sample_fn is None:
+
+        def mega(state, batches, base_key, start_iter):
+            n = jax.tree.leaves(batches)[0].shape[0]
+
+            def body(st, xs):
+                k, b = xs
+                sub = jax.random.fold_in(base_key, start_iter + k)
+                return step_fn(st, b, sub)
+
+            return jax.lax.scan(
+                body, state, (jnp.arange(n, dtype=jnp.int32), batches)
+            )
+
+        return jax.jit(mega, donate_argnums=(0,) if donate else ())
+
+    def mega_dev(state, base_key, feed_base, start_iter, n_steps):
+        def body(st, k):
+            batch = sample_fn(jax.random.fold_in(feed_base, start_iter + k))
+            sub = jax.random.fold_in(base_key, start_iter + k)
+            return step_fn(st, batch, sub)
+
+        return jax.lax.scan(
+            body, state, jnp.arange(n_steps, dtype=jnp.int32)
+        )
+
+    return jax.jit(
+        mega_dev, static_argnums=(4,), donate_argnums=(0,) if donate else ()
+    )

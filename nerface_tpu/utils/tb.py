@@ -11,13 +11,21 @@ config snapshot is dumped to `logdir/config.yml` on construction.
 from __future__ import annotations
 
 import os
+import threading
+
 import numpy as np
 
 
 class ScalarWriter:
+    """Thread-safe: the train loop logs train scalars from a background IO
+    thread (metric pulls cost a host round trip each on the tunneled
+    backend — train/loop.py round 4) while validation images are written
+    from the main thread; a lock serializes the underlying writer."""
+
     def __init__(self, logdir: str, cfg=None, enabled: bool = True):
         self.logdir = logdir
         os.makedirs(logdir, exist_ok=True)
+        self._lock = threading.Lock()
         self._writer = None
         if enabled:
             try:
@@ -31,21 +39,25 @@ class ScalarWriter:
                 f.write(cfg.dump())
 
     def scalar(self, tag: str, value, step: int):
-        if self._writer is not None:
-            self._writer.add_scalar(tag, float(value), step)
+        with self._lock:
+            if self._writer is not None:
+                self._writer.add_scalar(tag, float(value), step)
 
     def image(self, tag: str, img: np.ndarray, step: int, dataformats: str = "HWC"):
-        if self._writer is not None:
-            img = np.asarray(img)
-            if img.dtype != np.uint8:
-                img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
-            self._writer.add_image(tag, img, step, dataformats=dataformats)
+        with self._lock:
+            if self._writer is not None:
+                img = np.asarray(img)
+                if img.dtype != np.uint8:
+                    img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+                self._writer.add_image(tag, img, step, dataformats=dataformats)
 
     def flush(self):
-        if self._writer is not None:
-            self._writer.flush()
+        with self._lock:
+            if self._writer is not None:
+                self._writer.flush()
 
     def close(self):
-        if self._writer is not None:
-            self._writer.close()
-            self._writer = None
+        with self._lock:
+            if self._writer is not None:
+                self._writer.close()
+                self._writer = None
