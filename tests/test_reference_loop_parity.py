@@ -179,7 +179,8 @@ def _reference_training_loop(ref, params_c, params_f, batches, n_iters, lr_decay
     return losses, final
 
 
-def _our_training_loop(params_c, params_f, batches, n_iters, lr_decay):
+def _our_training_loop(params_c, params_f, batches, n_iters, lr_decay,
+                       fused_bf16=False):
     import jax
     import jax.numpy as jnp
 
@@ -204,7 +205,7 @@ def _our_training_loop(params_c, params_f, batches, n_iters, lr_decay):
         radiance_field_noise_std=0.0, near=0.2, far=0.8,
         encode_xyz=EncodeSpec(6, True, True),
         encode_dir=EncodeSpec(3, False, True),
-        fused="off",
+        fused="on" if fused_bf16 else "off",
     )
     params = {
         "coarse": {k: jnp.asarray(v) for k, v in params_c.items()},
@@ -217,7 +218,10 @@ def _our_training_loop(params_c, params_f, batches, n_iters, lr_decay):
         step=jnp.asarray(0, jnp.int32), params=params,
         opt_state=opt.init(params), fixed_background=None,
     )
-    step = make_train_step(model, model, settings, flags, opt, donate=False)
+    step = make_train_step(
+        model, model, settings, flags, opt, donate=False,
+        dtype=jnp.bfloat16 if fused_bf16 else None,
+    )
 
     losses = []
     for i in range(n_iters):
@@ -259,6 +263,64 @@ def _init_weights(ref):
         .state_dict().items()
     }
     return init_c, init_f
+
+
+class TestFusedBf16LoopParity:
+    def test_fused_bf16_tracks_reference_coupled_feed(self, ref, monkeypatch):
+        """Rehearsal-scale regression for the PRODUCTION path (round-3
+        verdict item 5): 200 coupled-feed iterations of the reference
+        loop vs our loop through the one-pass fused bf16 kernel
+        (interpret mode on CPU — precision semantics identical to the
+        TPU kernel's f32-accumulate; only speed differs).
+
+        Per-step fused-vs-XLA gradient exactness is pinned by
+        tests/test_fused_train.py and f32-loop-vs-reference by the tests
+        below; what can still rot silently is bf16 QUALITY DRIFT over a
+        trajectory — caught here by an EMA loss-gap budget against the
+        reference's own run on the identical feed (PARITY.md recorded
+        4.6% at rehearsal scale; the budget tolerates the extra noise of
+        this shorter, 64-ray workload)."""
+        from nerface_tpu.ops.pallas import fused_mlp as fm
+
+        monkeypatch.setattr(
+            fm, "fused_paper_mlp_available", lambda n, tr: n % tr == 0
+        )
+        n_iters = 200
+        rng = np.random.RandomState(11)
+        init_c, init_f = _init_weights(ref)
+        batches = _feed(rng, 8)
+
+        ref_losses, _ = _reference_training_loop(
+            ref, init_c, init_f, batches, n_iters=n_iters, lr_decay=250,
+        )
+        our_losses, _ = _our_training_loop(
+            init_c, init_f, batches, n_iters=n_iters, lr_decay=250,
+            fused_bf16=True,
+        )
+
+        def ema(xs):
+            m = xs[0]
+            out = []
+            for x in xs:
+                m = 0.95 * m + 0.05 * x
+                out.append(m)
+            return np.asarray(out)
+
+        e_ref, e_ours = ema(ref_losses), ema(our_losses)
+        tail = slice(n_iters // 2, None)
+        gap = np.abs(e_ours[tail] - e_ref[tail]) / e_ref[tail]
+        # measured 1.8% mean / 4.2% max on this workload; budget 10%
+        # (2x the PARITY.md rehearsal budget) so tunnel-free CI noise
+        # can't flake it while a real grad-path regression (>2x loss)
+        # still fails loudly
+        assert float(np.mean(gap)) < 0.10, (
+            f"fused bf16 EMA tail gap {np.mean(gap):.1%} "
+            f"(ref tail {e_ref[-1]:.2e}, ours tail {e_ours[-1]:.2e})"
+        )
+        # both sides learn the feed (random targets: plateau, not
+        # order-of-magnitude decay — measured 0.26 -> 0.126 either side)
+        assert e_ref[-1] < 0.6 * e_ref[0]
+        assert e_ours[-1] < 0.6 * e_ours[0]
 
 
 class TestReferenceLoopParity:
