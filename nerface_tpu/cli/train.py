@@ -160,7 +160,9 @@ def main(argv=None) -> None:
             mesh=mesh,
             export_torch=args.export_torch,
             dtype=jnp.bfloat16 if args.bf16 else None,
-            device_feed=args.device_feed,
+            # flag forces on; otherwise the config decides
+            # (experiment.device_feed — see train/loop.py)
+            device_feed=True if args.device_feed else None,
             steps_per_execute=args.steps_per_execute,
         )
 

@@ -195,7 +195,7 @@ def train(
     log: bool = True,
     export_torch: bool = False,
     dtype=None,
-    device_feed: bool = False,
+    device_feed: Optional[bool] = None,
     steps_per_execute: Optional[int] = None,
 ) -> TrainState:
     """Run training per the config; returns the final TrainState.
@@ -217,6 +217,12 @@ def train(
     auto — 50 for production-length schedules, 1 for short runs.
     """
     flags = FeatureFlags.from_cfg(cfg)
+    if device_feed is None:
+        # config-selectable (experiment.device_feed: True): the host feed
+        # leaks ~its per-step batch bytes on the tunneled backend
+        # (BENCH_NOTES.md round 4 — proportional to bytes uploaded, not
+        # dispatches), so long schedules should sample on device
+        device_feed = bool(cfg.experiment.get("device_feed") or False)
     multiprocess = jax.process_count() > 1
     if multiprocess and device_feed:
         raise NotImplementedError(

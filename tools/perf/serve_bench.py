@@ -46,6 +46,67 @@ def bench(server, label, n, encode):
     return ms
 
 
+def bench_concurrent(server, label, n_clients, per_client, encode):
+    """p50/p95 request latency with n_clients live TCP connections driving
+    the selectors loop concurrently — requests serialize at the one
+    renderer, so per-request latency ≈ n_clients × solo latency while
+    THROUGHPUT holds; what this measures is that a multiplexed client mix
+    neither deadlocks nor starves anyone."""
+    import json
+    import socket
+    import threading
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    total = n_clients * per_client
+    t_srv = threading.Thread(
+        target=server.serve_tcp, args=("127.0.0.1", port),
+        kwargs={"max_requests": total + n_clients}, daemon=True,
+    )
+    t_srv.start()
+    time.sleep(0.5)
+
+    lat = [[] for _ in range(n_clients)]
+    errs = []
+
+    def client(ci):
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=120) as c:
+                f = c.makefile("rwb")
+                for i in range(per_client):
+                    req = {"frame": 0, "maps": ["rgb_fine"],
+                           "seed": ci * 1000 + i}
+                    if encode:
+                        req["encode"] = "png_base64"
+                    t0 = time.time()
+                    f.write(json.dumps(req).encode() + b"\n")
+                    f.flush()
+                    resp = json.loads(f.readline())
+                    lat[ci].append(time.time() - t0)
+                    assert resp["ok"], resp
+        except Exception as e:  # surface in main thread
+            errs.append((ci, repr(e)))
+
+    threads = [threading.Thread(target=client, args=(ci,))
+               for ci in range(n_clients)]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    wall = time.time() - t0
+    assert not errs, errs
+    allt = np.asarray([x for c in lat for x in c])
+    print(
+        f"{label:34s} p50 {np.percentile(allt, 50)*1e3:8.1f} ms  "
+        f"p95 {np.percentile(allt, 95)*1e3:8.1f} ms  "
+        f"throughput {len(allt)/wall:.2f} req/s  "
+        f"[{n_clients} clients x {per_client} reqs]"
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
@@ -53,6 +114,9 @@ def main():
     ap.add_argument("--requests", type=int, default=20)
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--f32", dest="bf16", action="store_false")
+    ap.add_argument("--clients", type=int, default=3,
+                    help="concurrent-connection count for the selectors-"
+                         "loop section (0 skips it)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -77,6 +141,19 @@ def main():
     f = bench(fast, "fast-eval renderer", args.requests, encode=False)
     bench(fast, "fast-eval + png_base64", args.requests, encode=True)
     print(f"fast-eval speedup over parity: {p / f:.2f}x")
+
+    if args.clients:
+        bench_concurrent(fast, "fast-eval, concurrent clients",
+                         args.clients, max(4, args.requests // 4),
+                         encode=True)
+    del fast
+
+    cfg.nerf.validation["occupancy"] = True
+    occ = AvatarServer(cfg, checkpoint=args.checkpoint, dtype=dtype, log=True)
+    print(f"occupancy capacity {occ.settings.fast_eval_capacity:.2f}")
+    o = bench(occ, "occupancy renderer", args.requests, encode=False)
+    bench(occ, "occupancy + png_base64", args.requests, encode=True)
+    print(f"occupancy speedup over parity: {p / o:.2f}x")
 
 
 if __name__ == "__main__":

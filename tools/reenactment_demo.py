@@ -108,7 +108,10 @@ def scaled_config(ds_dir: str, logdir: str, iters: int, size: int) -> dict:
     cfg["experiment"].update(
         logdir=logdir, id="avatar", train_iters=iters,
         print_every=max(iters // 10, 1), validate_every=max(iters // 3, 1),
-        save_every=iters - 1,
+        # the loop always writes a final checkpoint at train_iters-1; a
+        # round save_every keeps the cadences divisible so production
+        # runs get the K>1 execution window (train/loop.py round 4)
+        save_every=iters,
     )
     cfg["nerf"]["train"].update(num_random_rays=512, num_coarse=16,
                                 num_fine=16)
@@ -238,6 +241,21 @@ def main():
         "driven renders look static — expression transfer not reaching "
         "the avatar"
     )
+
+    # --- presentation artifact: driving actor | reenacted render | normals
+    # triptych (the reference's videos.txt composition), ffmpeg-free
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "video_writer", os.path.join(os.path.dirname(__file__),
+                                     "video_writer.py")
+    )
+    vw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vw)
+    video_path = os.path.join(w, "reenactment.avi")
+    vw.main([video_path, os.path.join(drv_dir, "images"), driven_dir,
+             os.path.join(driven_dir, "normals"), "--fps", "25"])
+    summary["video"] = video_path
 
     with open(os.path.join(w, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
