@@ -4,6 +4,13 @@ NeRFace paper model at the reference's exact workload — 2048 rays/step,
 32-dim latent code, fixed-background compositing
 (`config/dave/dave_dvp_lcode_fixed_bg_512_paper_model.yml:134,142-144,160-162`).
 
+Execution matches production since round 4: K=50 steps per dispatched
+program (`train/step.py::make_train_megastep`, the train loop's default
+window at paper-schedule cadences) — per-step math identical to the
+sequential loop (tests/test_megastep.py), with the inter-step dispatch
+gaps the scan removes. Round-4 production runs sustain within ~3% of this
+number end-to-end (BENCH_NOTES.md).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline denominator: the reference records no throughput (SURVEY.md §6);
@@ -23,8 +30,9 @@ import numpy as np
 
 BASELINE_RAYS_PER_SEC = 10_000.0
 NUM_RAYS = 2048
-WARMUP = 5
-STEPS = 100
+WINDOW = 50   # steps per dispatched program (production default)
+WARMUP = 1    # windows
+STEPS = 100   # timed steps per repeat (2 windows)
 REPEATS = 3  # median of independent slope measurements (tunnel variance)
 
 
@@ -76,7 +84,7 @@ def main():
     from nerface_tpu.models import MODELS
     from nerface_tpu.render.pipeline import EncodeSpec, RenderSettings
     from nerface_tpu.train.state import create_train_state
-    from nerface_tpu.train.step import make_train_step
+    from nerface_tpu.train.step import make_train_megastep
 
     model = MODELS["ConditionalBlendshapePaperNeRFModel"](
         num_encoding_fn_xyz=10, num_encoding_fn_dir=4
@@ -97,29 +105,37 @@ def main():
         jax.random.PRNGKey(0), model, model, cfg, flags, n_train=16,
         background=jnp.zeros((512, 512, 3)),
     )
-    step = make_train_step(model, model, settings, flags, opt, dtype=jnp.bfloat16)
+    mega = make_train_megastep(
+        model, model, settings, flags, opt, dtype=jnp.bfloat16
+    )
 
     rng = np.random.RandomState(0)
     rd = rng.randn(NUM_RAYS, 3).astype(np.float32)
     rd[:, 2] = -np.abs(rd[:, 2]) - 0.5
-    batch = {
-        "ray_origins": jnp.zeros((NUM_RAYS, 3), jnp.float32),
-        "ray_directions": jnp.asarray(rd),
-        "target_rgb": jnp.asarray(rng.rand(NUM_RAYS, 3).astype(np.float32)),
-        "background_rgb": jnp.asarray(rng.rand(NUM_RAYS, 3).astype(np.float32)),
-        "expression": jnp.asarray(rng.randn(76).astype(np.float32) * 0.1),
-        "latent_index": jnp.asarray(0, jnp.int32),
+    one = {
+        "ray_origins": np.zeros((NUM_RAYS, 3), np.float32),
+        "ray_directions": rd,
+        "target_rgb": rng.rand(NUM_RAYS, 3).astype(np.float32),
+        "background_rgb": rng.rand(NUM_RAYS, 3).astype(np.float32),
+        "expression": rng.randn(76).astype(np.float32) * 0.1,
+        "latent_index": np.asarray(0, np.int32),
     }
-    batch = jax.device_put(batch)
-    key = jax.random.PRNGKey(1)
+    batches = jax.device_put(
+        {k: np.stack([v] * WINDOW) for k, v in one.items()}
+    )
+    base_key = jax.random.PRNGKey(1)
+    it = 0
+
+    def window(state, it):
+        s2, ms = mega(state, batches, base_key, jnp.asarray(it, jnp.int32))
+        return s2, ms, it + WINDOW
 
     for _ in range(WARMUP):
-        key, sub = jax.random.split(key)
-        state, metrics = step(state, batch, sub)
+        state, metrics, it = window(state, it)
     # NOTE: sync via a host read — on the tunneled `axon` platform
     # jax.block_until_ready returns before execution completes, which
     # silently turns the benchmark into a dispatch-rate measurement.
-    float(metrics["total_loss"])
+    float(metrics["total_loss"][-1])
 
     # Median of REPEATS independent slope measurements: the shared tunnel
     # has ~2x run-to-run variance, so a single 100-step slope can land a
@@ -127,16 +143,15 @@ def main():
     rates = []
     for rep in range(REPEATS):
         t0 = time.perf_counter()
-        for _ in range(STEPS):
-            key, sub = jax.random.split(key)
-            state, metrics = step(state, batch, sub)
-        float(metrics["total_loss"])  # host-read sync (see NOTE above)
+        for _ in range(STEPS // WINDOW):
+            state, metrics, it = window(state, it)
+        float(metrics["total_loss"][-1])  # host-read sync (see NOTE above)
         dt = time.perf_counter() - t0
         rates.append(NUM_RAYS * STEPS / dt)
         print(
             f"[bench] rep {rep}: device={jax.devices()[0].platform} "
             f"steps={STEPS} dt={dt:.3f}s rays/s={rates[-1]:,.0f} "
-            f"loss={float(metrics['total_loss']):.5f}",
+            f"loss={float(metrics['total_loss'][-1]):.5f}",
             file=sys.stderr,
         )
     rays_per_sec = sorted(rates)[len(rates) // 2]

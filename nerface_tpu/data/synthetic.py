@@ -55,8 +55,19 @@ def render_blob_frame(
     num_samples: int = 48,
     near: float = 0.2,
     far: float = 0.8,
+    compact: bool = False,
 ) -> np.ndarray:
-    """Analytic volume render of the expression-conditioned blob."""
+    """Analytic volume render of the expression-conditioned blob.
+
+    `compact=True` renders a SMALL blob with hard-truncated support
+    (sigma exactly 0 beyond 2.5 radii) — the regime of real tracked
+    heads, where the scene has genuine empty space, background pixels
+    equal the bg prior exactly, and occupancy/bbox ray skipping can
+    win. The default (legacy) blob is an untruncated Gaussian whose
+    σ=400 halo extends across most of the frustum: a converged model
+    correctly learns nonzero density everywhere (round-4 finding,
+    BENCH_NOTES.md), so datasets for sparsity-dependent features should
+    pass compact=True."""
     fx, fy, cx, cy = intrinsics
     ii, jj = np.meshgrid(np.arange(W, dtype=np.float32), np.arange(H, dtype=np.float32), indexing="xy")
     dirs = np.stack(
@@ -71,13 +82,16 @@ def render_blob_frame(
     # Expression controls blob radius and color mix.
     e0 = float(expression[0]) if len(expression) else 0.0
     e1 = float(expression[1]) if len(expression) > 1 else 0.0
-    radius = 0.08 * (1.0 + 0.4 * np.tanh(e0))
+    radius = (0.012 if compact else 0.08) * (1.0 + 0.4 * np.tanh(e0))
     color = np.clip(
         np.array([0.8 + 0.2 * np.tanh(e1), 0.4, 0.3 - 0.2 * np.tanh(e1)]), 0, 1
     ).astype(np.float32)
 
     d2 = np.sum(pts * pts, axis=-1)
     sigma = 400.0 * np.exp(-d2 / (2 * radius * radius))
+    if compact:
+        cut = 2.5 * radius
+        sigma = np.where(d2 < cut * cut, sigma, 0.0)
 
     dists = np.diff(t, append=t[-1] + 1e10).astype(np.float32)
     dists = dists[None, None, :] * np.linalg.norm(rd, axis=-1)[..., None]
@@ -102,11 +116,19 @@ def make_synthetic_flame_dataset(
     expr_dim: int = 76,
     seed: int = 0,
     num_samples: int = 48,
+    compact: bool = False,
 ) -> str:
-    """Write a loader-compatible synthetic dataset; returns `outdir`."""
+    """Write a loader-compatible synthetic dataset; returns `outdir`.
+
+    `compact=True` (see render_blob_frame): truly-bounded head stand-in —
+    background pixels equal bg/00050.png exactly, per-frame bboxes are
+    computed from the truncated blob's projection (like a tracker's), and
+    the GT is sampled finely enough for the small support."""
     from PIL import Image
 
     rng = np.random.RandomState(seed)
+    if compact:
+        num_samples = max(num_samples, 128)
     camera_angle_x = 0.35
     focal = 0.5 * W / np.tan(0.5 * camera_angle_x)
     intrinsics = np.array([focal, focal, 0.5, 0.5], np.float32)
@@ -130,14 +152,32 @@ def make_synthetic_flame_dataset(
             expr = np.zeros(expr_dim, np.float32)
             expr[:6] = rng.randn(6).astype(np.float32) * 0.5
             img = render_blob_frame(
-                H, W, intrinsics, c2w, expr, background, num_samples=num_samples
+                H, W, intrinsics, c2w, expr, background,
+                num_samples=num_samples, compact=compact,
             )
             name = f"f_{frame_id:04d}"
             Image.fromarray((img * 255).astype(np.uint8)).save(
                 os.path.join(outdir, split, name + ".png")
             )
-            # Head bbox: project blob extent — center ± 2.5 sigma.
-            bbox = np.array([0.30, 0.70, 0.30, 0.70], np.float32)
+            if compact:
+                # tracker-like per-frame bbox: the truncated blob's
+                # projected extent plus 30% looseness
+                r_blob = 0.012 * (1.0 + 0.4 * np.tanh(float(expr[0])))
+                cut = 2.5 * r_blob
+                dist = float(np.linalg.norm(cam))
+                half = 1.3 * (cut / max(dist - cut, 1e-6)) / (
+                    2.0 * np.tan(0.5 * camera_angle_x)
+                )
+                half = float(min(0.49, half))
+                bbox = np.array(
+                    [0.5 - half, 0.5 + half, 0.5 - half, 0.5 + half],
+                    np.float32,
+                )
+            else:
+                # legacy blob: the σ=400 Gaussian halo spans most of the
+                # frustum; this box bounds the CORE, not the visible
+                # extent (use compact=True when that matters)
+                bbox = np.array([0.30, 0.70, 0.30, 0.70], np.float32)
             frames.append(
                 {
                     "file_path": f"{split}/{name}",
