@@ -224,6 +224,74 @@ def ray_occupancy_mask(
     return jnp.any(hit & in_box, axis=-1)
 
 
+def conservative_block(
+    occ: OccupancyGrid,
+    intrinsics,
+    far: float,
+    height: int,
+    width: int,
+    dilate: int = 1,
+    max_block: int = 8,
+) -> int:
+    """Largest power-of-two pixel block size B (dividing H and W, ≤
+    `max_block`) such that probing ONE ray per B×B block against the
+    `dilate`-dilated grid stays conservative for every ray in the block.
+
+    Bound: a skipped ray is at most B·√2/2 pixels from its block-center
+    ray, i.e. ≤ far·(B·√2/2)/f world units off at the far plane. If that
+    offset is at most HALF the grid's dilation margin (`dilate` voxels),
+    any truly-occupied voxel the ray traverses lies inside the dilated
+    neighbourhood the center ray probes — the factor 2 leaves the other
+    half of the margin for the along-ray probe spacing
+    (`ray_occupancy_mask` docstring). Returns 1 when even B=2 violates
+    the bound (the caller falls back to per-ray probing)."""
+    vox = float(
+        np.min((np.asarray(occ.aabb_hi) - np.asarray(occ.aabb_lo)))
+        / occ.resolution
+    )
+    f_min = float(np.min(np.asarray(intrinsics, np.float64)[:2]))
+    limit = dilate * vox * f_min / (np.sqrt(2.0) * float(far))
+    b = 1
+    while (
+        b * 2 <= max_block
+        and b * 2 <= limit
+        and height % (b * 2) == 0
+        and width % (b * 2) == 0
+    ):
+        b *= 2
+    return b
+
+
+def ray_occupancy_mask_blocked(
+    occ: OccupancyGrid,
+    ray_origins: jnp.ndarray,     # (H*W, 3) raster order
+    ray_directions: jnp.ndarray,  # (H*W, 3)
+    height: int,
+    width: int,
+    near: float,
+    far: float,
+    n_probes: int,
+    block: int,
+) -> jnp.ndarray:
+    """(H*W,) bool — `ray_occupancy_mask` probed at one ray per
+    `block`×`block` pixel block (the block-center ray) and broadcast to
+    the block. Cuts the probe-gather cost by block² (at 512² / B=8 the
+    full-frame mask cost ~0.4 s/frame — more than the render it saves;
+    blocked it is ~ms). Conservative when `block` ≤
+    `conservative_block(...)` — the grid's dilation margin covers the
+    ≤ far·B·√2/2/f world-space offset between a ray and its block
+    center."""
+    c = block // 2
+    ro = ray_origins.reshape(height, width, 3)[c::block, c::block]
+    rd = ray_directions.reshape(height, width, 3)[c::block, c::block]
+    hb, wb = ro.shape[0], ro.shape[1]
+    m = ray_occupancy_mask(
+        occ, ro.reshape(-1, 3), rd.reshape(-1, 3), near, far, n_probes
+    ).reshape(hb, wb)
+    m = jnp.repeat(jnp.repeat(m, block, axis=0), block, axis=1)
+    return m.reshape(height * width)
+
+
 def fast_eval_setup(
     dataset,
     render_poses: np.ndarray,
@@ -291,22 +359,38 @@ def fast_eval_setup(
             dilate=settings.occupancy_dilate,
             dtype=dtype,
         )
+        # render-time mask block: one probed ray per B×B pixel block
+        # (0 in the config = auto from the conservativeness bound)
+        block = settings.occupancy_block
+        if block == 0:
+            block = conservative_block(
+                occ, dataset.intrinsics, settings.far, H, W,
+                dilate=max(settings.occupancy_dilate, 1),
+            )
         frac = active_fraction(
             occ, render_poses, dataset.intrinsics, H, W,
             settings.near, settings.far, settings.occupancy_probes,
+            block=block,
         )
+        # `frac` is EXACT for these poses (the grid is frozen and the
+        # measurement reuses the render-time mask code), so the margin
+        # only buys headroom for novel serve-time poses — overflowing
+        # rays fall back to background (renderer docstring).
         settings = dataclasses.replace(
             settings,
+            occupancy_block=block,
             fast_eval_capacity=min(
-                settings.fast_eval_capacity, min(1.0, frac * 1.1)
+                settings.fast_eval_capacity,
+                min(1.0, frac * settings.occupancy_margin),
             ),
         )
         if log:
             print(
                 f"[fast-eval] occupancy grid "
                 f"{settings.occupancy_resolution}^3 "
-                f"({occ.occupancy_fraction():.3f} occupied), active "
-                f"capacity {settings.fast_eval_capacity:.2f}"
+                f"({occ.occupancy_fraction():.3f} occupied), mask block "
+                f"{block}, active capacity "
+                f"{settings.fast_eval_capacity:.2f}"
             )
     return bbox, settings, occ
 
@@ -320,17 +404,27 @@ def active_fraction(
     near: float,
     far: float,
     n_probes: int = 128,
+    block: int = 1,
 ) -> float:
     """Max over `poses` of the fraction of rays the grid keeps — sizes
-    `fast_eval_capacity` the way the driver sizes it from the bbox."""
+    `fast_eval_capacity` the way the driver sizes it from the bbox.
+    `block` MUST match the render-time mask's block size: the capacity
+    bounds the count of active rays as the renderer computes them."""
     intr = jnp.asarray(intrinsics, jnp.float32)
 
     @jax.jit
     def frac(pose):
         ro, rd = get_ray_bundle(height, width, intr, pose)
-        m = ray_occupancy_mask(
-            occ, ro.reshape(-1, 3), rd.reshape(-1, 3), near, far, n_probes
-        )
+        if block > 1:
+            m = ray_occupancy_mask_blocked(
+                occ, ro.reshape(-1, 3), rd.reshape(-1, 3), height, width,
+                near, far, n_probes, block,
+            )
+        else:
+            m = ray_occupancy_mask(
+                occ, ro.reshape(-1, 3), rd.reshape(-1, 3), near, far,
+                n_probes,
+            )
         return jnp.mean(m.astype(jnp.float32))
 
     best = 0.0

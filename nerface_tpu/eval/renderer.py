@@ -121,12 +121,24 @@ def _active_mask(ro, rd, height, width, bbox, occupancy, settings):
         h0, h1, w0, w1 = bbox[0], bbox[1], bbox[2], bbox[3]
         inside = (ii >= h0) & (ii <= h1) & (jj >= w0) & (jj <= w1)
     if occupancy is not None:
-        from nerface_tpu.eval.occupancy import ray_occupancy_mask
-
-        inside = inside & ray_occupancy_mask(
-            occupancy, ro, rd, settings.near, settings.far,
-            settings.occupancy_probes,
+        from nerface_tpu.eval.occupancy import (
+            ray_occupancy_mask,
+            ray_occupancy_mask_blocked,
         )
+
+        b = settings.occupancy_block
+        if b > 1 and height % b == 0 and width % b == 0:
+            # one probed ray per b×b pixel block — the setup sized `b`
+            # so the grid's dilation margin keeps this conservative
+            inside = inside & ray_occupancy_mask_blocked(
+                occupancy, ro, rd, height, width, settings.near,
+                settings.far, settings.occupancy_probes, b,
+            )
+        else:
+            inside = inside & ray_occupancy_mask(
+                occupancy, ro, rd, settings.near, settings.far,
+                settings.occupancy_probes,
+            )
     return inside
 
 

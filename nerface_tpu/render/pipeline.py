@@ -102,10 +102,17 @@ class RenderSettings:
     # trained field at startup), `occupancy_resolution` is the voxel grid
     # side, `occupancy_probes` the per-ray test points, and
     # `occupancy_dilate` the conservative dilation steps.
+    # `occupancy_block` probes one ray per B×B pixel block (0 = the
+    # setup auto-sizes it from the conservativeness bound, 1 = per-ray);
+    # `occupancy_margin` is the capacity headroom over the measured
+    # active fraction (the fraction is exact for the setup's poses —
+    # margin only buys room for novel serve-time poses).
     occupancy: bool = False
     occupancy_resolution: int = 64
     occupancy_probes: int = 128
     occupancy_dilate: int = 1
+    occupancy_block: int = 0
+    occupancy_margin: float = 1.05
 
     @classmethod
     def from_cfg(cls, cfg, mode: str = "train") -> "RenderSettings":
@@ -141,6 +148,8 @@ class RenderSettings:
             occupancy_resolution=int(node.get("occupancy_resolution", 64)),
             occupancy_probes=int(node.get("occupancy_probes", 128)),
             occupancy_dilate=int(node.get("occupancy_dilate", 1)),
+            occupancy_block=int(node.get("occupancy_block", 0)),
+            occupancy_margin=float(node.get("occupancy_margin", 1.05)),
         )
 
 

@@ -15,11 +15,14 @@ import jax.numpy as jnp
 
 from nerface_tpu.eval.occupancy import (
     OccupancyGrid,
+    _dilate,
     active_fraction,
     build_occupancy_grid,
+    conservative_block,
     default_sigma_threshold,
     ray_aabb,
     ray_occupancy_mask,
+    ray_occupancy_mask_blocked,
 )
 from nerface_tpu.eval.renderer import render_full_frame
 from nerface_tpu.models import MODELS
@@ -323,3 +326,131 @@ class TestRendererIntegration:
         s = RenderSettings.from_cfg(cfg, mode="validation")
         assert s.occupancy and s.occupancy_resolution == 32
         assert s.occupancy_probes == 96 and s.occupancy_dilate == 2
+
+
+class TestBlockedMask:
+    """Block-downsampled probing (`ray_occupancy_mask_blocked`): one
+    probed ray per B×B pixel block, conservative through the grid's
+    dilation margin (`conservative_block` derives the safe B)."""
+
+    def _frustum(self, intr):
+        pose = np.eye(4, dtype=np.float32)
+        return ray_aabb(pose[None], intr, H, W, NEAR, FAR)
+
+    def test_block1_equals_per_ray(self):
+        occ = _unit_grid([(4, 4, 4), (2, 6, 3)])
+        intr = np.array([20.0, 20.0, 0.5, 0.5], np.float32)
+        ro, rd = get_ray_bundle(
+            H, W, jnp.asarray(intr), jnp.eye(4, dtype=jnp.float32)[:3, :4]
+        )
+        ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+        a = ray_occupancy_mask(occ, ro, rd, 0.0, 1.0, 64)
+        b = ray_occupancy_mask_blocked(occ, ro, rd, H, W, 0.0, 1.0, 64, 1)
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+    def test_blocked_on_dilated_covers_per_ray_on_true(self):
+        """The conservativeness contract: for every safe block size, the
+        blocked mask over the DILATED grid is a superset of the exact
+        per-ray mask over the TRUE grid (no ray with real density is
+        ever skipped)."""
+        rng = np.random.RandomState(7)
+        intr = np.array([40.0, 40.0, 0.5, 0.5], np.float32)
+        pose = jnp.eye(4, dtype=jnp.float32)[:3, :4]
+        lo, hi = self._frustum(intr)
+        for trial in range(5):
+            g = rng.rand(8, 8, 8) < 0.04
+            true = OccupancyGrid(
+                jnp.asarray(g), jnp.asarray(lo), jnp.asarray(hi)
+            )
+            dil = OccupancyGrid(
+                _dilate(jnp.asarray(g), 1), jnp.asarray(lo), jnp.asarray(hi)
+            )
+            b = conservative_block(true, intr, FAR, H, W, dilate=1)
+            ro, rd = get_ray_bundle(H, W, jnp.asarray(intr), pose)
+            ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+            exact = np.asarray(
+                ray_occupancy_mask(true, ro, rd, NEAR, FAR, 256)
+            )
+            blocked = np.asarray(ray_occupancy_mask_blocked(
+                dil, ro, rd, H, W, NEAR, FAR, 256, b
+            ))
+            assert (blocked | ~exact).all(), (
+                f"trial {trial}: blocked mask (B={b}) skipped "
+                f"{int((exact & ~blocked).sum())} truly-occupied rays"
+            )
+
+    def test_conservative_block_bound(self):
+        occ = _unit_grid([(4, 4, 4)])  # vox = 1/8 over [0,1]^3
+        # limit = dilate*vox*f/(sqrt(2)*far): generous focal -> capped at 8
+        assert conservative_block(
+            occ, np.array([2000.0, 2000.0, 0.5, 0.5]), 0.8, 512, 512
+        ) == 8
+        # tiny focal -> even B=2 unsafe -> 1
+        assert conservative_block(
+            occ, np.array([4.0, 4.0, 0.5, 0.5]), 0.8, 512, 512
+        ) == 1
+        # must divide H and W (510 is even -> 2 is the largest legal B)
+        assert conservative_block(
+            occ, np.array([2000.0, 2000.0, 0.5, 0.5]), 0.8, 510, 512
+        ) == 2
+        assert conservative_block(
+            occ, np.array([2000.0, 2000.0, 0.5, 0.5]), 0.8, 511, 512
+        ) == 1
+
+    def test_renderer_blocked_kept_rays_match_parity(self, setup):
+        """Through the real fast renderer with occupancy_block set: kept
+        rays bit-match parity, skipped rays composite to background."""
+        model, pc, pf, intr, pose, expr, latent, bg = setup
+        lo, hi = ray_aabb(
+            np.eye(4, dtype=np.float32)[None], intr, H, W, NEAR, FAR
+        )
+        g = np.zeros((8, 8, 8), bool)
+        g[:2] = True
+        occ = OccupancyGrid(
+            _dilate(jnp.asarray(g), 1), jnp.asarray(lo), jnp.asarray(hi)
+        )
+        common = dict(
+            key=jax.random.PRNGKey(3), expressions=expr,
+            latent_code=latent, background=bg,
+        )
+        full = render_full_frame(
+            model, model, pc, pf, H, W, intr, pose, _settings(), **common
+        )
+        s = _settings(
+            fast_eval=True, fast_eval_capacity=0.9, occupancy_block=4
+        )
+        fast = render_full_frame(
+            model, model, pc, pf, H, W, intr, pose, s,
+            occupancy=occ, **common,
+        )
+        ro, rd = get_ray_bundle(H, W, jnp.asarray(intr), jnp.asarray(pose))
+        kept = np.asarray(ray_occupancy_mask_blocked(
+            occ, ro.reshape(-1, 3), rd.reshape(-1, 3), H, W, NEAR, FAR,
+            s.occupancy_probes, 4,
+        )).reshape(H, W)
+        assert 0 < kept.sum() < H * W
+        a, b = np.asarray(full["rgb_fine"]), np.asarray(fast["rgb_fine"])
+        np.testing.assert_allclose(b[kept], a[kept], rtol=1e-5, atol=1e-5)
+        out_b, out_a = b[~kept], a[~kept]
+        out_bg = np.asarray(bg)[~kept]
+        is_bg = np.isclose(out_b, out_bg, atol=1e-6).all(axis=-1)
+        is_real = np.isclose(out_b, out_a, rtol=1e-4, atol=1e-4).all(axis=-1)
+        assert (is_bg | is_real).all()
+
+    def test_active_fraction_blocked_matches_renderer_count(self):
+        """Capacity contract: active_fraction(block=B) equals the mean of
+        the same blocked mask the renderer computes."""
+        occ = _unit_grid([(4, 4, 4), (3, 3, 3)])
+        intr = np.array([20.0, 20.0, 0.5, 0.5], np.float32)
+        pose = np.eye(4, dtype=np.float32)
+        ro, rd = get_ray_bundle(
+            H, W, jnp.asarray(intr), jnp.asarray(pose[:3, :4])
+        )
+        m = ray_occupancy_mask_blocked(
+            occ, ro.reshape(-1, 3), rd.reshape(-1, 3), H, W, NEAR, FAR,
+            128, 4,
+        )
+        f = active_fraction(
+            occ, pose[None], intr, H, W, NEAR, FAR, 128, block=4
+        )
+        assert f == pytest.approx(float(np.asarray(m).mean()))

@@ -93,6 +93,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=1500)
     ap.add_argument("--workdir", type=str, default="/tmp/pe_precision_probe")
+    ap.add_argument("--size", type=int, default=64,
+                    help="dataset H=W; 256+ puts top-band PE arguments "
+                         "(2^9 x, ~0.35 rad at bf16's 2^-8 grid) in the "
+                         "regime where rounding could cost detail")
+    ap.add_argument("--compact", action="store_true",
+                    help="hard-truncated blob (sharp silhouette edge = "
+                         "high-frequency content the top PE bands carry)")
     ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--cfg", type=str, default="", help=argparse.SUPPRESS)
     ap.add_argument("--renders", type=str, default="", help=argparse.SUPPRESS)
@@ -109,7 +116,8 @@ def main():
     ds_dir = os.path.join(w, "ds")
     if not os.path.exists(os.path.join(ds_dir, "transforms_train.json")):
         make_synthetic_flame_dataset(
-            ds_dir, n_train=16, n_val=2, n_test=4, H=64, W=64, seed=0
+            ds_dir, n_train=16, n_val=2, n_test=4, H=args.size,
+            W=args.size, seed=0, compact=args.compact,
         )
 
     results = []

@@ -113,10 +113,16 @@ def scaled_config(ds_dir: str, logdir: str, iters: int, size: int) -> dict:
         # runs get the K>1 execution window (train/loop.py round 4)
         save_every=iters,
     )
-    cfg["nerf"]["train"].update(num_random_rays=512, num_coarse=16,
-                                num_fine=16)
-    cfg["nerf"]["validation"].update(num_coarse=16, num_fine=16,
-                                     chunksize=min(size * size, 16384))
+    if size >= 128:
+        # presentable runs keep the reference's production shape
+        # (2048 rays, 64+64 samples — the paper config's own values)
+        cfg["nerf"]["validation"].update(chunksize=min(size * size, 65536))
+    else:
+        # the 64² smoke regime recorded in RUNBOOK.md
+        cfg["nerf"]["train"].update(num_random_rays=512, num_coarse=16,
+                                    num_fine=16)
+        cfg["nerf"]["validation"].update(num_coarse=16, num_fine=16,
+                                         chunksize=min(size * size, 16384))
     return cfg
 
 
