@@ -37,14 +37,25 @@ from nerface_tpu.ops.rays import get_ray_bundle
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class OccupancyGrid:
-    """Boolean voxel grid over a world-space AABB."""
+    """Boolean voxel grid over a world-space AABB.
+
+    `boxes_lo/boxes_hi/boxes_valid` (optional, via `with_boxes()`) are the
+    occupied voxels as a padded static-shape list of world AABBs — the
+    input of the projection-splat ray mask (`ray_occupancy_mask_splat`),
+    which replaces per-ray probing on the render path."""
 
     grid: jnp.ndarray      # (R, R, R) bool
     aabb_lo: jnp.ndarray   # (3,) f32
     aabb_hi: jnp.ndarray   # (3,) f32
+    boxes_lo: Optional[jnp.ndarray] = None     # (K, 3) f32
+    boxes_hi: Optional[jnp.ndarray] = None     # (K, 3) f32
+    boxes_valid: Optional[jnp.ndarray] = None  # (K,) bool
 
     def tree_flatten(self):
-        return (self.grid, self.aabb_lo, self.aabb_hi), None
+        return (
+            self.grid, self.aabb_lo, self.aabb_hi,
+            self.boxes_lo, self.boxes_hi, self.boxes_valid,
+        ), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -56,6 +67,37 @@ class OccupancyGrid:
 
     def occupancy_fraction(self) -> float:
         return float(jnp.mean(self.grid.astype(jnp.float32)))
+
+    def with_boxes(self, round_to: int = 1024) -> "OccupancyGrid":
+        """Attach the occupied-voxel world boxes, merged into runs along
+        the grid's z axis (adjacent occupied voxels in one column share a
+        box — typically 10-50x fewer boxes than voxels), padded to a
+        multiple of `round_to` so downstream jits see a static shape."""
+        g = np.asarray(self.grid, bool)
+        res = g.shape
+        lo3 = np.asarray(self.aabb_lo, np.float32)
+        hi3 = np.asarray(self.aabb_hi, np.float32)
+        vox = (hi3 - lo3) / np.asarray(res, np.float32)
+        # run-length merge along axis 2: starts where 0->1, ends at 1->0
+        z = np.zeros((*res[:2], 1), np.int8)
+        d = np.diff(np.concatenate([z, g.astype(np.int8), z], 2), axis=2)
+        starts = np.argwhere(d == 1)   # (k, 3), z = run start
+        ends = np.argwhere(d == -1)    # (k, 3), z = run end (exclusive)
+        # argwhere is lexicographic in (x, y, z) and runs don't overlap,
+        # so rows pair up start-to-end within each (x, y) column
+        blo = lo3 + starts.astype(np.float32) * vox
+        bhi = lo3 + (ends + np.array([1, 1, 0])).astype(np.float32) * vox
+        k = len(starts)
+        cap = max(round_to, ((k + round_to - 1) // round_to) * round_to)
+        pad = cap - k
+        blo = np.pad(blo, ((0, pad), (0, 0)))
+        bhi = np.pad(bhi, ((0, pad), (0, 0)))
+        valid = np.zeros(cap, bool)
+        valid[:k] = True
+        return dataclasses.replace(
+            self, boxes_lo=jnp.asarray(blo), boxes_hi=jnp.asarray(bhi),
+            boxes_valid=jnp.asarray(valid),
+        )
 
     def save(self, path: str) -> None:
         np.savez_compressed(
@@ -137,6 +179,7 @@ def build_occupancy_grid(
     dilate: int = 1,
     chunk: int = 65536,
     dtype=None,
+    supersample: int = 1,
 ) -> OccupancyGrid:
     """Sweep the trained field over voxel centers; a voxel is occupied if
     its sigma clears `sigma_threshold` under ANY of the given
@@ -146,8 +189,17 @@ def build_occupancy_grid(
     a fixed view direction: every paper-family model computes sigma
     before the direction branch joins, so the choice is immaterial
     there; for toy models with early dir fusion the dilation absorbs the
-    approximation."""
-    res = int(resolution)
+    approximation.
+
+    `supersample=s` evaluates the field at an (s·res)³ grid and
+    max-pools s³ sub-cells into each output voxel — a voxel is occupied
+    if ANY of its s³ sub-centers clears the threshold. The splat mask
+    uses this (s=2) instead of dilation for sub-voxel conservativeness:
+    it guards against thin features missed by a single center sample
+    without the full one-voxel halo, which the measured silhouette
+    showed inflates the kept-ray fraction from 0.77x to 1.0x of bbox."""
+    ss = max(int(supersample), 1)
+    res = int(resolution) * ss
     lo = jnp.asarray(aabb_lo, jnp.float32)
     hi = jnp.asarray(aabb_hi, jnp.float32)
     centers = (jnp.arange(res, dtype=jnp.float32) + 0.5) / res
@@ -195,6 +247,9 @@ def build_occupancy_grid(
 
     sigma = np.asarray(_sigma_max(pts_c), np.float32).reshape(-1)[:n]
     occ = jnp.asarray(sigma.reshape(res, res, res) > float(sigma_threshold))
+    if ss > 1:
+        r = res // ss
+        occ = occ.reshape(r, ss, r, ss, r, ss).any(axis=(1, 3, 5))
     occ = _dilate(occ, dilate)
     return OccupancyGrid(occ, lo, hi)
 
@@ -222,6 +277,119 @@ def ray_occupancy_mask(
     idx = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)
     hit = occ.grid[idx[..., 0], idx[..., 1], idx[..., 2]]
     return jnp.any(hit & in_box, axis=-1)
+
+
+def ray_occupancy_mask_splat(
+    occ: OccupancyGrid,
+    pose: jnp.ndarray,   # (3, 4) or (4, 4) c2w
+    intrinsics,
+    height: int,
+    width: int,
+) -> jnp.ndarray:
+    """(H*W,) bool — EXACT conservative occupancy mask by projection
+    splatting, replacing per-ray probing on the render path.
+
+    A pixel's ray intersects a convex voxel box iff the pixel lies inside
+    the box's perspective projection, and for a box fully in front of the
+    camera that projection is the convex hull of its 8 projected corners
+    — contained in their axis-aligned pixel bbox. So splatting the
+    (floor/ceil-rounded) corner bboxes of every occupied box marks a
+    SUPERSET of the rays any probe scheme could keep: no probe spacing to
+    step over a voxel, no block-size/voxel-size coupling, and the cost is
+    K box projections + 4K scatter-adds + one 2D cumsum (~ms at 512²)
+    instead of n_rays x n_probes grid gathers (~0.4 s). Boxes with any
+    corner at/behind the camera plane splat the full frame (conservative;
+    never happens for a head in front of the camera). The mask ignores
+    the [near, far] clip — over-inclusion only.
+
+    Requires `occ.with_boxes()`. The pixel convention matches
+    `ops/rays.pixel_directions` (reference `nerf_helpers.py:109-123`):
+    col = fx·qx/(−qz) + W·cx, row = H·cy − fy·qy/(−qz) for camera-frame
+    q = Rᵀ(p − t)."""
+    intr = jnp.asarray(intrinsics, jnp.float32)
+    if intr.ndim == 0:
+        intr = jnp.stack([intr, intr, jnp.asarray(0.5), jnp.asarray(0.5)])
+    pose = jnp.asarray(pose, jnp.float32)
+    rot = pose[:3, :3]
+    t = pose[:3, 3]
+
+    bits = jnp.asarray(
+        [[(c >> a) & 1 for a in range(3)] for c in range(8)], jnp.float32
+    )  # (8, 3) corner selectors
+    lo, hi = occ.boxes_lo, occ.boxes_hi
+    corners = (
+        lo[:, None, :] * (1.0 - bits)[None] + hi[:, None, :] * bits[None]
+    )  # (K, 8, 3)
+    q = (corners - t) @ rot               # Rᵀ(p − t) row-wise
+    z = -q[..., 2]                        # depth along −z, > 0 in front
+    front = jnp.all(z > 1e-6, axis=1)     # (K,)
+    zs = jnp.maximum(z, 1e-6)
+    col = intr[0] * q[..., 0] / zs + width * intr[2]
+    row = height * intr[3] - intr[1] * q[..., 1] / zs
+    c0 = jnp.floor(jnp.min(col, axis=1))
+    c1 = jnp.ceil(jnp.max(col, axis=1))
+    r0 = jnp.floor(jnp.min(row, axis=1))
+    r1 = jnp.ceil(jnp.max(row, axis=1))
+    r0 = jnp.where(front, r0, 0.0)
+    r1 = jnp.where(front, r1, float(height - 1))
+    c0 = jnp.where(front, c0, 0.0)
+    c1 = jnp.where(front, c1, float(width - 1))
+
+    # rectangle splat via a 2D difference array; off-frame rects clip to
+    # zero area (the +w/−w scatters land on the same index and cancel)
+    w = occ.boxes_valid.astype(jnp.int32)
+    r0i = jnp.clip(r0, 0, height).astype(jnp.int32)
+    c0i = jnp.clip(c0, 0, width).astype(jnp.int32)
+    r1i = jnp.clip(r1 + 1.0, 0, height).astype(jnp.int32)
+    c1i = jnp.clip(c1 + 1.0, 0, width).astype(jnp.int32)
+    diff = jnp.zeros((height + 1, width + 1), jnp.int32)
+    diff = diff.at[r0i, c0i].add(w)
+    diff = diff.at[r0i, c1i].add(-w)
+    diff = diff.at[r1i, c0i].add(-w)
+    diff = diff.at[r1i, c1i].add(w)
+    m = jnp.cumsum(jnp.cumsum(diff, axis=0), axis=1)[:height, :width] > 0
+    return m.reshape(height * width)
+
+
+def tighten_aabb(
+    model,
+    params,
+    encode_xyz,
+    encode_dir,
+    aabb_lo,
+    aabb_hi,
+    expressions,
+    latent_code,
+    sigma_threshold: float,
+    dtype=None,
+    prepass_resolution: int = 32,
+    pad_voxels: int = 2,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shrink the frustum AABB to the trained field's occupied region via
+    a coarse prepass grid, padded by `pad_voxels` prepass voxels. The
+    frustum box (`ray_aabb`) spans everything ANY ray can sample — ~3x
+    the head's extent per axis — so the final grid's voxels shrink by the
+    same factor at fixed resolution, and with them the dilation halo that
+    round-3's default inflated back to bbox capacity. Falls back to the
+    input box when the prepass finds nothing (untrained field)."""
+    occ0 = build_occupancy_grid(
+        model, params, encode_xyz, encode_dir, aabb_lo, aabb_hi,
+        resolution=prepass_resolution, expressions=expressions,
+        latent_code=latent_code, sigma_threshold=sigma_threshold,
+        dilate=1, dtype=dtype,
+    )
+    g = np.asarray(occ0.grid)
+    if not g.any():
+        return (
+            np.asarray(aabb_lo, np.float32), np.asarray(aabb_hi, np.float32)
+        )
+    idx = np.argwhere(g)
+    lo3 = np.asarray(aabb_lo, np.float32)
+    hi3 = np.asarray(aabb_hi, np.float32)
+    vox = (hi3 - lo3) / float(prepass_resolution)
+    tlo = lo3 + (idx.min(0) - pad_voxels) * vox
+    thi = lo3 + (idx.max(0) + 1 + pad_voxels) * vox
+    return np.maximum(tlo, lo3), np.minimum(thi, hi3)
 
 
 def conservative_block(
@@ -344,25 +512,49 @@ def fast_eval_setup(
         )])
         if extra_expressions is not None:
             sample += [np.asarray(e) for e in extra_expressions]
+        lat0 = (
+            np.asarray(latent_codes[0]) if latent_codes is not None else None
+        )
+        thr = default_sigma_threshold(
+            settings.near, settings.far, settings.num_coarse
+        )
+        if settings.occupancy_mask not in ("splat", "probe"):
+            raise ValueError(
+                "nerf.validation.occupancy_mask must be 'splat' or "
+                f"'probe', got {settings.occupancy_mask!r}"
+            )
+        splat = settings.occupancy_mask == "splat"
+        if splat:
+            # splat mode: shrink the box to the occupied region first —
+            # smaller voxels at the same resolution, tighter silhouette
+            lo, hi = tighten_aabb(
+                model_coarse, params_coarse,
+                settings.encode_xyz, settings.encode_dir, lo, hi,
+                sample, lat0, thr, dtype=dtype,
+            )
         occ = build_occupancy_grid(
             model_coarse, params_coarse,
             settings.encode_xyz, settings.encode_dir, lo, hi,
             resolution=settings.occupancy_resolution,
             expressions=sample,
-            latent_code=(
-                np.asarray(latent_codes[0])
-                if latent_codes is not None else None
-            ),
-            sigma_threshold=default_sigma_threshold(
-                settings.near, settings.far, settings.num_coarse
-            ),
+            latent_code=lat0,
+            sigma_threshold=thr,
             dilate=settings.occupancy_dilate,
             dtype=dtype,
+            # splat is geometrically exact per-voxel, so it trades the
+            # probe modes' dilation halo for a 2x supersampled build
+            # (sub-voxel conservativeness without the halo)
+            supersample=2 if splat else 1,
         )
-        # render-time mask block: one probed ray per B×B pixel block
-        # (0 in the config = auto from the conservativeness bound)
         block = settings.occupancy_block
-        if block == 0:
+        if splat:
+            # exact projection mask — no probe block; boxes on the grid
+            # switch the renderer and active_fraction to the splat path
+            occ = occ.with_boxes()
+            block = 1
+        elif block == 0:
+            # probe mode: one probed ray per B×B pixel block
+            # (0 in the config = auto from the conservativeness bound)
             block = conservative_block(
                 occ, dataset.intrinsics, settings.far, H, W,
                 dilate=max(settings.occupancy_dilate, 1),
@@ -408,19 +600,24 @@ def active_fraction(
 ) -> float:
     """Max over `poses` of the fraction of rays the grid keeps — sizes
     `fast_eval_capacity` the way the driver sizes it from the bbox.
-    `block` MUST match the render-time mask's block size: the capacity
-    bounds the count of active rays as the renderer computes them."""
+    Uses the splat mask when the grid carries boxes (`with_boxes()`),
+    otherwise probes; `block` MUST match the render-time mask's block
+    size in probe mode: the capacity bounds the count of active rays as
+    the renderer computes them."""
     intr = jnp.asarray(intrinsics, jnp.float32)
 
     @jax.jit
     def frac(pose):
-        ro, rd = get_ray_bundle(height, width, intr, pose)
-        if block > 1:
+        if occ.boxes_lo is not None:
+            m = ray_occupancy_mask_splat(occ, pose, intr, height, width)
+        elif block > 1:
+            ro, rd = get_ray_bundle(height, width, intr, pose)
             m = ray_occupancy_mask_blocked(
                 occ, ro.reshape(-1, 3), rd.reshape(-1, 3), height, width,
                 near, far, n_probes, block,
             )
         else:
+            ro, rd = get_ray_bundle(height, width, intr, pose)
             m = ray_occupancy_mask(
                 occ, ro.reshape(-1, 3), rd.reshape(-1, 3), near, far,
                 n_probes,

@@ -109,10 +109,15 @@ def _render_frame_jit(
     return {k: _restore(v) for k, v in tiles.items()}
 
 
-def _active_mask(ro, rd, height, width, bbox, occupancy, settings):
+def _active_mask(
+    ro, rd, height, width, bbox, occupancy, settings,
+    pose=None, intrinsics=None,
+):
     """Which rays run the radiance field on the fast path: inside the
     pixel bbox (2D) AND touching an occupied voxel (3D) — either test
-    alone when the other is absent."""
+    alone when the other is absent. Grids carrying splat boxes
+    (`OccupancyGrid.with_boxes()`) use the exact projection-splat mask;
+    bare grids use per-ray (optionally blocked) probing."""
     n = height * width
     inside = jnp.ones((n,), bool)
     if bbox is not None:
@@ -124,10 +129,15 @@ def _active_mask(ro, rd, height, width, bbox, occupancy, settings):
         from nerface_tpu.eval.occupancy import (
             ray_occupancy_mask,
             ray_occupancy_mask_blocked,
+            ray_occupancy_mask_splat,
         )
 
         b = settings.occupancy_block
-        if b > 1 and height % b == 0 and width % b == 0:
+        if occupancy.boxes_lo is not None and pose is not None:
+            inside = inside & ray_occupancy_mask_splat(
+                occupancy, pose, intrinsics, height, width,
+            )
+        elif b > 1 and height % b == 0 and width % b == 0:
             # one probed ray per b×b pixel block — the setup sized `b`
             # so the grid's dilation margin keeps this conservative
             inside = inside & ray_occupancy_mask_blocked(
@@ -193,7 +203,8 @@ def _render_frame_fast_jit(
     rd = rd.reshape(n, 3)
 
     inside = _active_mask(
-        ro, rd, height, width, bbox, occupancy, settings
+        ro, rd, height, width, bbox, occupancy, settings,
+        pose=pose, intrinsics=intrinsics,
     )
 
     # Stable sort puts active rays first in raster order; take `cap`.
@@ -282,7 +293,10 @@ def _render_frame_fast_sharded(
     ro = ro.reshape(n, 3)
     rd = rd.reshape(n, 3)
 
-    inside = _active_mask(ro, rd, height, width, bbox, occupancy, settings)
+    inside = _active_mask(
+        ro, rd, height, width, bbox, occupancy, settings,
+        pose=pose, intrinsics=intrinsics,
+    )
     # resize, not slice: cap may exceed n once rounded up to whole
     # per-device tiles (see _render_frame_fast_jit)
     act = jnp.resize(jnp.argsort(~inside, stable=True), (cap,))

@@ -100,17 +100,27 @@ class RenderSettings:
     # Occupancy-grid ray skipping on top of fast_eval (eval/occupancy.py):
     # `occupancy` turns it on (the eval driver builds the grid from the
     # trained field at startup), `occupancy_resolution` is the voxel grid
-    # side, `occupancy_probes` the per-ray test points, and
-    # `occupancy_dilate` the conservative dilation steps.
-    # `occupancy_block` probes one ray per B×B pixel block (0 = the
-    # setup auto-sizes it from the conservativeness bound, 1 = per-ray);
-    # `occupancy_margin` is the capacity headroom over the measured
-    # active fraction (the fraction is exact for the setup's poses —
-    # margin only buys room for novel serve-time poses).
+    # side, and `occupancy_dilate` the conservative dilation steps.
+    # `occupancy_mask` picks the render-time ray mask: "splat" (default —
+    # exact conservative projection splat over a tight AABB, ~ms/frame)
+    # or "probe" (legacy per-ray grid probing over the frustum AABB;
+    # `occupancy_probes` test points per ray, `occupancy_block` probes
+    # one ray per B×B pixel block, 0 = auto from the conservativeness
+    # bound, 1 = per-ray). `occupancy_dilate` defaults per mode (config
+    # default splat 0 / probe 1): probing needs the one-voxel halo so
+    # probe spacing can't step over a cell, while the splat mask is
+    # geometrically exact per voxel and gets its sub-voxel safety from
+    # the 2x supersampled grid build instead — the measured halo cost on
+    # a converged 512² head is the whole win (kept-ray fraction 0.77x
+    # bbox without the halo, 1.00x with it). `occupancy_margin` is the
+    # capacity headroom over the measured active fraction (the fraction
+    # is exact for the setup's poses — margin only buys room for novel
+    # serve-time poses).
     occupancy: bool = False
-    occupancy_resolution: int = 64
+    occupancy_mask: str = "splat"
+    occupancy_resolution: int = 128
     occupancy_probes: int = 128
-    occupancy_dilate: int = 1
+    occupancy_dilate: int = 0
     occupancy_block: int = 0
     occupancy_margin: float = 1.05
 
@@ -145,9 +155,14 @@ class RenderSettings:
             fast_eval=bool(node.get("fast_eval", False)),
             fast_eval_capacity=float(node.get("fast_eval_capacity", 0.6)),
             occupancy=bool(node.get("occupancy", False)),
-            occupancy_resolution=int(node.get("occupancy_resolution", 64)),
+            occupancy_mask=str(node.get("occupancy_mask", "splat")),
+            occupancy_resolution=int(node.get("occupancy_resolution", 128)),
             occupancy_probes=int(node.get("occupancy_probes", 128)),
-            occupancy_dilate=int(node.get("occupancy_dilate", 1)),
+            occupancy_dilate=int(node.get(
+                "occupancy_dilate",
+                0 if str(node.get("occupancy_mask", "splat")) == "splat"
+                else 1,
+            )),
             occupancy_block=int(node.get("occupancy_block", 0)),
             occupancy_margin=float(node.get("occupancy_margin", 1.05)),
         )

@@ -23,6 +23,8 @@ from nerface_tpu.eval.occupancy import (
     ray_aabb,
     ray_occupancy_mask,
     ray_occupancy_mask_blocked,
+    ray_occupancy_mask_splat,
+    tighten_aabb,
 )
 from nerface_tpu.eval.renderer import render_full_frame
 from nerface_tpu.models import MODELS
@@ -454,3 +456,245 @@ class TestBlockedMask:
             occ, pose[None], intr, H, W, NEAR, FAR, 128, block=4
         )
         assert f == pytest.approx(float(np.asarray(m).mean()))
+
+
+def _front_grid(occupied, res=8):
+    """res^3 grid over a box IN FRONT of an identity-pose camera
+    (z in [-0.9, -0.3] — the camera looks down -z)."""
+    g = np.zeros((res, res, res), bool)
+    for v in occupied:
+        g[v] = True
+    return OccupancyGrid(
+        jnp.asarray(g),
+        jnp.asarray([-0.3, -0.3, -0.9], jnp.float32),
+        jnp.asarray([0.3, 0.3, -0.3], jnp.float32),
+    )
+
+
+class TestSplat:
+    """Projection-splat occupancy mask (`ray_occupancy_mask_splat`): an
+    exact conservative superset of any probe mask, computed by splatting
+    the projected pixel bboxes of the occupied voxel boxes."""
+
+    intr = np.array([20.0, 20.0, 0.5, 0.5], np.float32)
+    pose = np.eye(4, dtype=np.float32)[:3, :4]
+
+    def test_with_boxes_covers_exactly_the_occupied_voxels(self):
+        rng = np.random.RandomState(7)
+        g = rng.rand(8, 8, 8) < 0.2
+        occ = OccupancyGrid(
+            jnp.asarray(g), jnp.zeros(3, jnp.float32),
+            jnp.ones(3, jnp.float32),
+        ).with_boxes(round_to=16)
+        # reconstruct the voxel set from the merged run boxes
+        vox = 1.0 / 8
+        back = np.zeros((8, 8, 8), bool)
+        lo = np.asarray(occ.boxes_lo)
+        hi = np.asarray(occ.boxes_hi)
+        for b_lo, b_hi in zip(lo[np.asarray(occ.boxes_valid)],
+                              hi[np.asarray(occ.boxes_valid)]):
+            i0 = np.round(b_lo / vox).astype(int)
+            i1 = np.round(b_hi / vox).astype(int)
+            assert i1[0] == i0[0] + 1 and i1[1] == i0[1] + 1  # z-runs only
+            back[i0[0], i0[1], i0[2]:i1[2]] = True
+        assert (back == g).all()
+        # padding is invalid and the count is rounded up
+        assert occ.boxes_lo.shape[0] % 16 == 0
+        assert int(np.asarray(occ.boxes_valid).sum()) < occ.boxes_lo.shape[0]
+
+    def test_splat_superset_of_probe(self):
+        """Conservativeness: every ray the per-ray probe keeps, the splat
+        keeps (random grids, off-center pose)."""
+        rng = np.random.RandomState(3)
+        for trial in range(4):
+            occ = _front_grid(
+                [tuple(v) for v in rng.randint(0, 8, size=(20, 3))]
+            )
+            pose = self.pose.copy()
+            pose[:, 3] = rng.randn(3) * 0.05  # jitter the camera
+            boxed = occ.with_boxes(round_to=8)
+            splat = np.asarray(ray_occupancy_mask_splat(
+                boxed, jnp.asarray(pose), self.intr, H, W
+            ))
+            ro, rd = get_ray_bundle(
+                H, W, jnp.asarray(self.intr), jnp.asarray(pose)
+            )
+            probe = np.asarray(ray_occupancy_mask(
+                occ, ro.reshape(-1, 3), rd.reshape(-1, 3), NEAR, FAR, 256
+            ))
+            assert (splat | ~probe).all(), f"trial {trial}: splat missed rays"
+
+    def test_splat_is_tight_for_a_single_voxel(self):
+        """Exactness: one voxel's splat is within rounding (the 1-pixel
+        floor/ceil margin) of the probe mask — no halo inflation."""
+        occ = _front_grid([(4, 4, 4)])
+        boxed = occ.with_boxes(round_to=8)
+        splat = np.asarray(ray_occupancy_mask_splat(
+            boxed, jnp.asarray(self.pose), self.intr, H, W
+        )).reshape(H, W)
+        ro, rd = get_ray_bundle(
+            H, W, jnp.asarray(self.intr), jnp.asarray(self.pose)
+        )
+        probe = np.asarray(ray_occupancy_mask(
+            occ, ro.reshape(-1, 3), rd.reshape(-1, 3), 0.1, 1.2, 512
+        )).reshape(H, W)
+        assert (splat | ~probe).all()
+        # the splat rect is the probe silhouette grown by <= 1 px per side
+        grown = np.zeros_like(probe)
+        idx = np.argwhere(probe)
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                r = np.clip(idx[:, 0] + di, 0, H - 1)
+                c = np.clip(idx[:, 1] + dj, 0, W - 1)
+                grown[r, c] = True
+        assert (grown | ~splat).all(), "splat exceeds probe + 1px"
+
+    def test_behind_camera_box_splats_full_frame(self):
+        g = np.zeros((8, 8, 8), bool)
+        g[4, 4, 4] = True
+        occ = OccupancyGrid(  # box BEHIND the camera (+z)
+            jnp.asarray(g),
+            jnp.asarray([-0.3, -0.3, 0.3], jnp.float32),
+            jnp.asarray([0.3, 0.3, 0.9], jnp.float32),
+        ).with_boxes(round_to=8)
+        m = np.asarray(ray_occupancy_mask_splat(
+            occ, jnp.asarray(self.pose), self.intr, H, W
+        ))
+        assert m.all()  # conservative: cannot project, keep everything
+
+    def test_empty_grid_splats_nothing(self):
+        occ = _front_grid([]).with_boxes(round_to=8)
+        m = np.asarray(ray_occupancy_mask_splat(
+            occ, jnp.asarray(self.pose), self.intr, H, W
+        ))
+        assert not m.any()
+
+    def test_offscreen_box_splats_nothing(self):
+        occ = OccupancyGrid(  # in front but far off to +x
+            jnp.asarray(np.ones((2, 2, 2), bool)),
+            jnp.asarray([5.0, 5.0, -0.9], jnp.float32),
+            jnp.asarray([5.6, 5.6, -0.3], jnp.float32),
+        ).with_boxes(round_to=8)
+        m = np.asarray(ray_occupancy_mask_splat(
+            occ, jnp.asarray(self.pose), self.intr, H, W
+        ))
+        assert not m.any()
+
+    def test_active_fraction_uses_splat_when_boxes_present(self):
+        occ = _front_grid([(4, 4, 4), (3, 4, 4)])
+        boxed = occ.with_boxes(round_to=8)
+        f = active_fraction(
+            boxed, np.eye(4, dtype=np.float32)[None], self.intr,
+            H, W, NEAR, FAR
+        )
+        m = np.asarray(ray_occupancy_mask_splat(
+            boxed, jnp.asarray(self.pose), self.intr, H, W
+        ))
+        assert f == pytest.approx(float(m.mean()))
+        assert 0.0 < f < 0.5
+
+    def test_tighten_aabb_shrinks_to_the_ball(self):
+        model = _BallField([0.0, 0.0, -0.6], 0.1)
+        lo0 = np.array([-0.3, -0.3, -0.9], np.float32)
+        hi0 = np.array([0.3, 0.3, -0.3], np.float32)
+        enc = lambda x: x  # identity PE: _BallField reads xyz directly
+        lo, hi = tighten_aabb(
+            model, None, enc, None, lo0, hi0, None, None,
+            sigma_threshold=1.0,
+        )
+        # contains the ball with margin, strictly inside the frustum box
+        assert (lo <= np.array([-0.1, -0.1, -0.7]) + 1e-6).all()
+        assert (hi >= np.array([0.1, 0.1, -0.5]) - 1e-6).all()
+        assert (lo >= lo0 - 1e-6).all() and (hi <= hi0 + 1e-6).all()
+        assert ((hi - lo) < (hi0 - lo0) * 0.9).all()
+
+    def test_tighten_aabb_empty_field_keeps_the_box(self):
+        model = _BallField([99.0, 99.0, 99.0], 0.01)  # nothing in box
+        lo0 = np.array([-0.3, -0.3, -0.9], np.float32)
+        hi0 = np.array([0.3, 0.3, -0.3], np.float32)
+        lo, hi = tighten_aabb(
+            model, None, lambda x: x, None, lo0, hi0, None, None,
+            sigma_threshold=1.0,
+        )
+        assert np.allclose(lo, lo0) and np.allclose(hi, hi0)
+
+    def test_supersample_catches_sub_voxel_features(self):
+        """The splat grid's conservativeness guard: a feature that sits
+        between the coarse voxel centers is missed by the center-only
+        build (ss=1) but caught by the 2x supersampled build the splat
+        path uses (any of the 8 sub-centers clears the threshold)."""
+        # res 4 over the unit cube: centers at 0.125+k/4; a radius-0.12
+        # ball at 0.25 (a voxel CORNER) is 0.217 from every coarse
+        # center but only 0.108 from the nearest ss=2 sub-center
+        model = _BallField([0.25, 0.25, 0.25], 0.12)
+        kw = dict(
+            resolution=4, sigma_threshold=1.0, dilate=0, chunk=512,
+        )
+        coarse = build_occupancy_grid(
+            model, {}, EncodeSpec(0, True, True), None,
+            np.zeros(3, np.float32), np.ones(3, np.float32), **kw,
+        )
+        assert not np.asarray(coarse.grid).any()
+        fine = build_occupancy_grid(
+            model, {}, EncodeSpec(0, True, True), None,
+            np.zeros(3, np.float32), np.ones(3, np.float32),
+            supersample=2, **kw,
+        )
+        g = np.asarray(fine.grid)
+        assert g.shape == (4, 4, 4)  # pooled back to the coarse shape
+        assert g[:2, :2, :2].any() and g.sum() <= 8
+
+    def test_supersample_one_is_the_center_build(self):
+        model = _BallField([0.5, 0.5, 0.5], 0.2)
+        kw = dict(
+            resolution=8, sigma_threshold=1.0, dilate=0, chunk=512,
+        )
+        a = build_occupancy_grid(
+            model, {}, EncodeSpec(0, True, True), None,
+            np.zeros(3, np.float32), np.ones(3, np.float32), **kw,
+        )
+        b = build_occupancy_grid(
+            model, {}, EncodeSpec(0, True, True), None,
+            np.zeros(3, np.float32), np.ones(3, np.float32),
+            supersample=1, **kw,
+        )
+        assert (np.asarray(a.grid) == np.asarray(b.grid)).all()
+
+    def test_renderer_splat_kept_rays_match_parity(self, setup):
+        """e2e through the fast renderer with a boxed grid: kept rays ==
+        parity bit-for-bit, skipped rays == background (the same quality
+        contract as the probe path)."""
+        model, pc, pf, intr, pose, expr, latent, bg = setup
+        lo, hi = ray_aabb(
+            np.eye(4, dtype=np.float32)[None], intr, H, W, NEAR, FAR
+        )
+        res = 8
+        g = np.zeros((res, res, res), bool)
+        g[: res // 2] = True  # left half of the frustum box
+        occ = OccupancyGrid(
+            jnp.asarray(g), jnp.asarray(lo), jnp.asarray(hi)
+        ).with_boxes(round_to=64)
+        key = jax.random.PRNGKey(3)
+        common = dict(
+            key=key, expressions=expr, latent_code=latent, background=bg,
+        )
+        full = render_full_frame(
+            model, model, pc, pf, H, W, intr, pose, _settings(), **common
+        )
+        s = _settings(fast_eval=True, fast_eval_capacity=1.0)
+        fast = render_full_frame(
+            model, model, pc, pf, H, W, intr, pose, s,
+            occupancy=occ, **common,
+        )
+        kept = np.asarray(ray_occupancy_mask_splat(
+            occ, jnp.asarray(pose), intr, H, W
+        )).reshape(H, W)
+        assert 0 < kept.sum() < H * W
+        a = np.asarray(full["rgb_fine"])
+        b = np.asarray(fast["rgb_fine"])
+        np.testing.assert_allclose(b[kept], a[kept], rtol=1e-5, atol=1e-5)
+        out_b, out_a = b[~kept], a[~kept]
+        out_bg = np.asarray(bg)[~kept]
+        is_bg = np.isclose(out_b, out_bg, atol=1e-6).all(axis=-1)
+        is_real = np.isclose(out_b, out_a, rtol=1e-4, atol=1e-4).all(axis=-1)
+        assert (is_bg | is_real).all()
