@@ -10,8 +10,11 @@ same jitted full-frame renderer as batch eval (`eval/renderer.py`):
 
 - **Warm jit cache.** Every request reuses ONE compiled executable
   (static H/W/sample-count/capacity shapes), so requests after the first
-  are compile-free. On a v5e chip the fast-eval path serves 512² frames
-  at ~4.3 fps (BENCH_NOTES.md "Opt-in fast eval").
+  are compile-free. Measured end-to-end on the real chip (512², bf16,
+  converged checkpoint; BENCH_NOTES.md "Serving latency"): 358 ms/request
+  median on the fast-eval path (2.8 fps incl. host readback + JSON
+  framing), 713 ms parity; 3 concurrent clients hold 2.64 req/s through
+  the selectors loop.
 - **Same quality contract as eval.** The parity renderer is the default;
   `fast_eval` (head-bbox ray skipping) is the same opt-in as the eval
   driver's, sized from the dataset's test-split bbox union.

@@ -117,7 +117,17 @@ def main():
     ap.add_argument("--clients", type=int, default=3,
                     help="concurrent-connection count for the selectors-"
                          "loop section (0 skips it)")
+    ap.add_argument("--modes", type=str, default="parity,fast,occupancy",
+                    help="comma-separated sections to run (parity, fast, "
+                         "occupancy) — the occupancy grid build alone is "
+                         "~80 s on a converged 512² checkpoint, so long "
+                         "runs can split sections across invocations")
     args = ap.parse_args()
+    modes = {m.strip() for m in args.modes.split(",") if m.strip()}
+    bad = modes - {"parity", "fast", "occupancy"}
+    if bad:
+        raise SystemExit(f"unknown --modes {sorted(bad)}; allowed: "
+                         "parity, fast, occupancy")
 
     import jax.numpy as jnp
 
@@ -127,33 +137,43 @@ def main():
     dtype = jnp.bfloat16 if args.bf16 else None
     cfg = load_config(args.config)
 
-    parity = AvatarServer(cfg, checkpoint=args.checkpoint, dtype=dtype, log=False)
-    print(f"serving {parity.H}x{parity.W}, dtype "
-          f"{'bf16' if args.bf16 else 'f32'}")
-    p = bench(parity, "parity renderer", args.requests, encode=False)
-    bench(parity, "parity + png_base64", args.requests, encode=True)
-    del parity
+    p = None
+    if "parity" in modes:
+        parity = AvatarServer(cfg, checkpoint=args.checkpoint, dtype=dtype,
+                              log=False)
+        print(f"serving {parity.H}x{parity.W}, dtype "
+              f"{'bf16' if args.bf16 else 'f32'}")
+        p = bench(parity, "parity renderer", args.requests, encode=False)
+        bench(parity, "parity + png_base64", args.requests, encode=True)
+        del parity
 
-    cfg.nerf.validation["fast_eval"] = True
-    fast = AvatarServer(cfg, checkpoint=args.checkpoint, dtype=dtype, log=False)
-    print(f"fast-eval bbox {fast.fast_bbox.tolist()}, "
-          f"capacity {fast.settings.fast_eval_capacity:.2f}")
-    f = bench(fast, "fast-eval renderer", args.requests, encode=False)
-    bench(fast, "fast-eval + png_base64", args.requests, encode=True)
-    print(f"fast-eval speedup over parity: {p / f:.2f}x")
+    if "fast" in modes:
+        cfg.nerf.validation["fast_eval"] = True
+        fast = AvatarServer(cfg, checkpoint=args.checkpoint, dtype=dtype,
+                            log=False)
+        print(f"fast-eval bbox {fast.fast_bbox.tolist()}, "
+              f"capacity {fast.settings.fast_eval_capacity:.2f}")
+        f = bench(fast, "fast-eval renderer", args.requests, encode=False)
+        bench(fast, "fast-eval + png_base64", args.requests, encode=True)
+        if p is not None:
+            print(f"fast-eval speedup over parity: {p / f:.2f}x")
 
-    if args.clients:
-        bench_concurrent(fast, "fast-eval, concurrent clients",
-                         args.clients, max(4, args.requests // 4),
-                         encode=True)
-    del fast
+        if args.clients:
+            bench_concurrent(fast, "fast-eval, concurrent clients",
+                             args.clients, max(4, args.requests // 4),
+                             encode=True)
+        del fast
 
-    cfg.nerf.validation["occupancy"] = True
-    occ = AvatarServer(cfg, checkpoint=args.checkpoint, dtype=dtype, log=True)
-    print(f"occupancy capacity {occ.settings.fast_eval_capacity:.2f}")
-    o = bench(occ, "occupancy renderer", args.requests, encode=False)
-    bench(occ, "occupancy + png_base64", args.requests, encode=True)
-    print(f"occupancy speedup over parity: {p / o:.2f}x")
+    if "occupancy" in modes:
+        cfg.nerf.validation["fast_eval"] = True
+        cfg.nerf.validation["occupancy"] = True
+        occ = AvatarServer(cfg, checkpoint=args.checkpoint, dtype=dtype,
+                           log=True)
+        print(f"occupancy capacity {occ.settings.fast_eval_capacity:.2f}")
+        o = bench(occ, "occupancy renderer", args.requests, encode=False)
+        bench(occ, "occupancy + png_base64", args.requests, encode=True)
+        if p is not None:
+            print(f"occupancy speedup over parity: {p / o:.2f}x")
 
 
 if __name__ == "__main__":
