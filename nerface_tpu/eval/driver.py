@@ -49,6 +49,24 @@ def cast_to_image(img: np.ndarray) -> np.ndarray:
     return (np.clip(np.asarray(img), 0.0, 1.0) * 255.0).round().astype(np.uint8)
 
 
+@jax.jit
+def device_cast_to_image(img: jnp.ndarray) -> jnp.ndarray:
+    """`cast_to_image` computed ON DEVICE (f32 clip·255 → round-half-even
+    → uint8, bit-parity pinned in tests/test_serve.py) so the host link
+    carries the 786 KB uint8 frame instead of the 3.1 MB f32 one — on the
+    tunneled backend readback is the dominant non-render cost
+    (BENCH_NOTES.md "Serving latency")."""
+    x = jnp.clip(img.astype(jnp.float32), 0.0, 1.0) * 255.0
+    return jnp.round(x).astype(jnp.uint8)
+
+
+@jax.jit
+def device_uint8(x: jnp.ndarray) -> jnp.ndarray:
+    """C-style float→uint8 truncation on device (for maps already scaled
+    to 0..255, e.g. `normal_map_from_depth` output)."""
+    return x.astype(jnp.uint8)
+
+
 def cast_to_disparity_image(disp: np.ndarray) -> np.ndarray:
     """Per-frame min-max normalize -> uint8 (`eval_transformed_rays.py:195-198`)."""
     disp = np.asarray(disp, np.float64)
@@ -91,10 +109,13 @@ def error_image(gt: np.ndarray, pred: np.ndarray) -> np.ndarray:
     return jet_colormap(diff / (peak if peak > 0 else 1.0))
 
 
-def _save_png(path: str, img: np.ndarray) -> None:
+def _save_png(path: str, img) -> None:
     from PIL import Image
 
-    Image.fromarray(img).save(path)
+    # np.asarray here (not in the render loop): device→host readback of
+    # jax arrays runs in the saver thread, overlapped with the next
+    # frame's render dispatch.
+    Image.fromarray(np.asarray(img)).save(path)
 
 
 class _AsyncSaver:
@@ -109,8 +130,13 @@ class _AsyncSaver:
         self._pool = ThreadPoolExecutor(max_workers=workers)
         self._futures = []
 
-    def save(self, path: str, img: np.ndarray) -> None:
+    def save(self, path: str, img) -> None:
         self._futures.append(self._pool.submit(_save_png, path, img))
+        # Bound the backlog: queued device arrays pin device buffers, so
+        # a long run whose readback lags its renders must not accumulate
+        # the whole sequence on-chip.
+        if len(self._futures) > 16:
+            self._futures.pop(0).result()
 
     def wait(self) -> None:
         for f in self._futures:
@@ -310,13 +336,17 @@ def evaluate(
         normals = normal_map_from_depth(
             disp, jnp.asarray(intrinsics, jnp.float32), out["bg_weight"], clean=True
         )
-        jax.block_until_ready(rgb)
+        # Quantize on device: only uint8 frames ride the host link, and
+        # the readback itself happens in the saver threads, overlapped
+        # with the next frame's render.
+        rgb_u8 = device_cast_to_image(rgb)
+        normals_u8 = device_uint8(normals)
+        jax.block_until_ready(rgb_u8)
         times.append(time.time() - t0)
 
-        saver.save(os.path.join(savedir, f"{i:04d}.png"), cast_to_image(rgb))
+        saver.save(os.path.join(savedir, f"{i:04d}.png"), rgb_u8)
         saver.save(
-            os.path.join(savedir, "normals", f"{i:04d}.png"),
-            np.asarray(normals).astype(np.uint8),
+            os.path.join(savedir, "normals", f"{i:04d}.png"), normals_u8
         )
         if save_disparity_image:
             saver.save(
@@ -325,9 +355,10 @@ def evaluate(
             )
         if save_error_image and len(dataset.i_test) > i:
             gt = dataset.images[dataset.i_test[i]][..., :3]
+            # error vs the QUANTIZED render — the image the run ships
             saver.save(
                 os.path.join(savedir, "error", f"{i:04d}.png"),
-                error_image(gt, np.asarray(rgb)),
+                error_image(gt, np.asarray(rgb_u8, np.float64) / 255.0),
             )
         if log:
             print(f"Avg time per image: {sum(times) / (i + 1)}")

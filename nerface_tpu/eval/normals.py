@@ -12,13 +12,16 @@ same behavior is kept; pass whichever map you want backprojected.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from nerface_tpu.ops.math import meshgrid_xy
 
 
+@partial(jax.jit, static_argnames=("clean", "central_difference"))
 def normal_map_from_depth(
     depthmap: jnp.ndarray,
     intrinsics,

@@ -64,13 +64,36 @@ from nerface_tpu.config.flags import EvalFlags, FeatureFlags
 from nerface_tpu.data.flame import load_flame_data
 from nerface_tpu.eval.driver import (
     cast_to_disparity_image,
-    cast_to_image,
+    device_cast_to_image,
+    device_uint8,
 )
 from nerface_tpu.eval.normals import normal_map_from_depth
 from nerface_tpu.eval.renderer import render_full_frame
 from nerface_tpu.render.pipeline import RenderSettings
 
 _KNOWN_MAPS = ("rgb_fine", "rgb_coarse", "disp", "depth", "acc", "normals")
+
+
+# On-device uint8 quantization: the rendered maps live on the chip in
+# f32 (3.1 MB for a 512² rgb frame); quantizing before readback means
+# only the 786 KB uint8 frame rides the (high-latency, tunneled)
+# host link. rgb/normals share the eval driver's device casts
+# (`device_cast_to_image` / `device_uint8`); acc/depth are serve-only
+# maps, quantized here with host-matching semantics. (disp keeps the
+# host float64 normalize — the documented reference contract,
+# `eval_transformed_rays.py:195-198`.)
+@jax.jit
+def _u8_unit(x: jnp.ndarray) -> jnp.ndarray:
+    return (jnp.clip(x.astype(jnp.float32), 0.0, 1.0) * 255.0).astype(
+        jnp.uint8
+    )
+
+
+@jax.jit
+def _u8_minmax(x: jnp.ndarray) -> jnp.ndarray:
+    x = x.astype(jnp.float32)
+    lo, hi = jnp.min(x), jnp.max(x)
+    return ((x - lo) / jnp.maximum(hi - lo, 1e-8) * 255.0).astype(jnp.uint8)
 
 
 def _encode_png(img: np.ndarray) -> bytes:
@@ -297,20 +320,17 @@ class AvatarServer:
         for m in maps:
             if m in ("rgb_fine", "rgb_coarse"):
                 src = out.get(m, out["rgb_coarse"])
-                result[m] = cast_to_image(np.asarray(src))
+                result[m] = np.asarray(device_cast_to_image(src))
             elif m == "disp":
                 src = out.get("disp_fine", out["disp_coarse"])
                 result[m] = cast_to_disparity_image(np.asarray(src))
             elif m == "depth":
-                depth = np.asarray(out.get("depth_fine", out["depth_coarse"]))
-                lo, hi = float(depth.min()), float(depth.max())
-                scaled = (depth - lo) / max(hi - lo, 1e-8)
-                result[m] = (scaled * 255.0).astype(np.uint8)
+                depth = out.get("depth_fine", out["depth_coarse"])
+                result[m] = np.asarray(_u8_minmax(depth))
             elif m == "acc":
-                acc = np.clip(
-                    np.asarray(out.get("acc_fine", out["acc_coarse"])), 0, 1
+                result[m] = np.asarray(
+                    _u8_unit(out.get("acc_fine", out["acc_coarse"]))
                 )
-                result[m] = (acc * 255.0).astype(np.uint8)
             elif m == "normals":
                 # Same inputs as the eval driver: disparity + bg_weight
                 # (`eval/driver.py` normals call).
@@ -319,7 +339,7 @@ class AvatarServer:
                     disp, jnp.asarray(self.intrinsics, jnp.float32),
                     out["bg_weight"], clean=True,
                 )
-                result[m] = np.asarray(normals).astype(np.uint8)
+                result[m] = np.asarray(device_uint8(normals))
         self.requests_served += 1
         return result
 

@@ -381,3 +381,50 @@ class TestFastEvalServing:
         np.testing.assert_array_equal(
             a[h0:h1 + 1, w0:w1 + 1], b[h0:h1 + 1, w0:w1 + 1]
         )
+
+
+class TestDeviceQuantization:
+    """The on-device uint8 casts (serve.py `_u8_*`) exist so only uint8
+    frames ride the host link; their contract is bit-parity with the
+    host-side casts they replaced."""
+
+    def test_rgb_matches_cast_to_image(self):
+        import jax.numpy as jnp
+
+        from nerface_tpu.eval.driver import cast_to_image
+        from nerface_tpu.serve import device_cast_to_image as _u8_rgb
+
+        rng = np.random.RandomState(0)
+        # out-of-range values exercise the clamp; the ramp lands many
+        # x*255 products on exact .5 so host/device must agree on
+        # round-half-even
+        x = np.concatenate([
+            rng.uniform(-0.3, 1.3, 4096),
+            np.arange(511, dtype=np.float64) / 510.0,
+        ]).astype(np.float32).reshape(-1, 1, 1).repeat(3, axis=2)
+        np.testing.assert_array_equal(
+            np.asarray(_u8_rgb(jnp.asarray(x))), cast_to_image(x)
+        )
+
+    def test_unit_and_minmax_and_trunc(self):
+        import jax.numpy as jnp
+
+        from nerface_tpu.serve import _u8_minmax, _u8_unit
+        from nerface_tpu.serve import device_uint8 as _u8_trunc
+
+        rng = np.random.RandomState(1)
+        a = rng.uniform(-0.2, 1.2, (33, 7)).astype(np.float32)
+        np.testing.assert_array_equal(
+            np.asarray(_u8_unit(jnp.asarray(a))),
+            (np.clip(a, 0, 1) * 255.0).astype(np.uint8),
+        )
+        d = rng.uniform(0.1, 5.0, (33, 7)).astype(np.float32)
+        lo, hi = d.min(), d.max()
+        host = ((d - lo) / max(hi - lo, 1e-8) * 255.0).astype(np.uint8)
+        np.testing.assert_array_equal(
+            np.asarray(_u8_minmax(jnp.asarray(d))), host
+        )
+        n = rng.uniform(0.0, 255.0, (9, 9, 3)).astype(np.float32)
+        np.testing.assert_array_equal(
+            np.asarray(_u8_trunc(jnp.asarray(n))), n.astype(np.uint8)
+        )

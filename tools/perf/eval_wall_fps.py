@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Sustained batch-eval fps, WALL CLOCK, everything included.
+
+`eval/driver.evaluate`'s own `avg_time_per_image` measures dispatch time
+(block_until_ready is a no-op on the tunneled backend), and
+`tools/perf/occupancy_proof.py` slope-times the bare renderer — neither
+pays per-frame host readback or PNG encode. This probe times the whole
+`evaluate()` call (checkpoint restore excluded, compile excluded via a
+1-frame warm pass): frames / wall seconds with readback, uint8
+quantization, PNG writing, normals maps, the lot. This is the honest
+counterpart of the reference's only perf metric, the avg s/image its
+eval script prints (`eval_transformed_rays.py:483,498`) — which also
+pays image writing, synchronously.
+
+Run on the real TPU against the converged 512² checkpoint:
+
+    python tools/perf/eval_wall_fps.py \
+        --config configs/synth512c_devfeed.yml \
+        --checkpoint /tmp/nerface_runs/synth512c_devfeed/checkpoint300001 \
+        --bf16 [--fast-eval] [--occupancy] [--frames 8]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--fast-eval", action="store_true")
+    ap.add_argument("--occupancy", action="store_true")
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--savedir", default="/tmp/eval_wall_fps")
+    ap.add_argument("--basedir", default=None,
+                    help="dataset basedir override (e.g. a timing dataset "
+                    "with a larger test split than the training one)")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from nerface_tpu.config import load_config
+    from nerface_tpu.eval.driver import EvalFlags, evaluate
+
+    cfg = load_config(args.config)
+    if args.basedir:
+        cfg.dataset.basedir = args.basedir
+    if args.fast_eval or args.occupancy:
+        cfg.nerf.validation["fast_eval"] = True
+    if args.occupancy:
+        cfg.nerf.validation["occupancy"] = True
+    dtype = jnp.bfloat16 if args.bf16 else None
+
+    # Warm pass: compile + occupancy-grid build land here, not in the
+    # timed window (a deployment evals hundreds of frames per build).
+    evaluate(cfg, args.checkpoint, args.savedir + "_warm",
+             eval_flags=EvalFlags(), max_frames=1, log=False, dtype=dtype)
+
+    t0 = time.perf_counter()
+    r = evaluate(cfg, args.checkpoint, args.savedir,
+                 eval_flags=EvalFlags(), max_frames=args.frames,
+                 log=False, dtype=dtype)
+    wall = time.perf_counter() - t0
+
+    n = int(r["frames"])
+    mode = ("occupancy" if args.occupancy
+            else "fast-eval" if args.fast_eval else "parity")
+    print(f"{mode}: {n} frames in {wall:.2f}s wall "
+          f"(incl. ckpt restore + readback + PNG + normals) = "
+          f"{wall / n * 1e3:.1f} ms/frame, {n / wall:.2f} fps; "
+          f"driver's dispatch-only avg {r['avg_time_per_image'] * 1e3:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
