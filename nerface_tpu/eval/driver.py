@@ -161,10 +161,18 @@ def evaluate(
     log: bool = True,
     mesh=None,
 ) -> Dict[str, float]:
-    """Run the full evaluation loop; returns timing/count summary."""
+    """Run the full evaluation loop; returns timing/count summary.
+
+    The summary separates `setup_s` (dataset load unless passed in,
+    checkpoint restore, fast-eval/occupancy-grid build) from
+    `frame_loop_s` (render + readback + PNG writes, saver threads
+    joined) so wall-clock fps probes can report sustained per-frame cost
+    without amortizing one-time setup into it."""
     from nerface_tpu.train import checkpoint as ckpt_lib
     from nerface_tpu.train.loop import build_models_from_cfg
     from nerface_tpu.train.state import create_train_state
+
+    t_setup0 = time.perf_counter()
 
     flags = eval_flags if eval_flags is not None else EvalFlags.from_cfg(cfg)
 
@@ -276,6 +284,8 @@ def evaluate(
     times = []
     latent_index = 0
     saver = _AsyncSaver()
+    setup_s = time.perf_counter() - t_setup0
+    t_loop0 = time.perf_counter()
     for i in range(n_frames):
         t0 = time.time()
         pose = render_poses[i]
@@ -367,4 +377,6 @@ def evaluate(
     return {
         "frames": float(n_frames),
         "avg_time_per_image": (sum(times) / len(times)) if times else 0.0,
+        "setup_s": setup_s,
+        "frame_loop_s": time.perf_counter() - t_loop0,
     }

@@ -263,9 +263,16 @@ def ray_occupancy_mask(
     n_probes: int = 128,
 ) -> jnp.ndarray:
     """(n,) bool — does the ray touch ANY occupied voxel? `n_probes`
-    equidistant probe points over [near, far]; at the default 128 probes
-    the spacing is finer than a 64**3 voxel over the standard [0.2, 0.8]
-    bounds, so probes cannot step over a (dilated) occupied cell."""
+    equidistant probe points over [near, far].
+
+    Conservativeness depends on probe spacing vs the grid's dilation
+    halo: a probe within s/2 of a traversed occupied voxel lands inside
+    its `dilate`-voxel dilated neighbourhood only if s/2 <= dilate*vox
+    (halved again when blocked probing spends half the halo on the block
+    offset — `conservative_block`). Callers must size `n_probes` from
+    the ACTUAL grid extents and dilation; `fast_eval_setup` derives the
+    minimum (spacing <= half a dilated voxel) and raises
+    `occupancy_probes` to it, so no fixed default is assumed safe."""
     res = occ.resolution
     t = jnp.linspace(float(near), float(far), int(n_probes), dtype=jnp.float32)
     pts = (
@@ -554,11 +561,39 @@ def fast_eval_setup(
             block = 1
         elif block == 0:
             # probe mode: one probed ray per B×B pixel block
-            # (0 in the config = auto from the conservativeness bound)
+            # (0 in the config = auto from the conservativeness bound).
+            # The bound MUST use the dilation the grid was actually built
+            # with: an undilated grid (occupancy_dilate: 0) has no halo
+            # for the block offset to live in, so auto-blocking degrades
+            # to per-ray probing (conservative_block returns 1 for
+            # dilate=0 — limit is zero).
             block = conservative_block(
                 occ, dataset.intrinsics, settings.far, H, W,
-                dilate=max(settings.occupancy_dilate, 1),
+                dilate=settings.occupancy_dilate,
             )
+        if not splat:
+            # probe-spacing bound: probes along [near, far] must land at
+            # most half a dilated-voxel apart (the other half of the halo
+            # is spent on the block offset when block > 1), otherwise a
+            # probe set can step clean over an occupied cell. Derived
+            # from the actual grid extents, not assumed from defaults.
+            vox = float(
+                np.min(np.asarray(occ.aabb_hi) - np.asarray(occ.aabb_lo))
+            ) / occ.resolution
+            halo = max(settings.occupancy_dilate, 1) * vox
+            needed = int(np.ceil((settings.far - settings.near)
+                                 / (halo / 2.0))) + 1
+            if needed > settings.occupancy_probes:
+                if log:
+                    print(
+                        f"[fast-eval] occupancy_probes "
+                        f"{settings.occupancy_probes} -> {needed} (probe "
+                        f"spacing bound for {occ.resolution}^3 voxels, "
+                        f"dilate={settings.occupancy_dilate})"
+                    )
+                settings = dataclasses.replace(
+                    settings, occupancy_probes=needed
+                )
         frac = active_fraction(
             occ, render_poses, dataset.intrinsics, H, W,
             settings.near, settings.far, settings.occupancy_probes,

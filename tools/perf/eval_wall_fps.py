@@ -45,6 +45,7 @@ def main():
     import jax.numpy as jnp
 
     from nerface_tpu.config import load_config
+    from nerface_tpu.data.flame import load_flame_data
     from nerface_tpu.eval.driver import EvalFlags, evaluate
 
     cfg = load_config(args.config)
@@ -56,23 +57,33 @@ def main():
         cfg.nerf.validation["occupancy"] = True
     dtype = jnp.bfloat16 if args.bf16 else None
 
-    # Warm pass: compile + occupancy-grid build land here, not in the
-    # timed window (a deployment evals hundreds of frames per build).
-    evaluate(cfg, args.checkpoint, args.savedir + "_warm",
+    # Dataset loaded ONCE and shared; per-call setup (checkpoint restore,
+    # occupancy-grid build) is reported separately via the driver's
+    # setup_s/frame_loop_s split — the headline fps is the frame loop
+    # only (render + readback + PNG, saver threads joined), since a
+    # deployment evals hundreds of frames per one-time setup.
+    dataset = load_flame_data(
+        cfg.dataset.basedir, half_res=cfg.dataset.half_res,
+        testskip=cfg.dataset.testskip, test=True,
+        cachedir=cfg.dataset.get("cachedir"),
+    )
+
+    # Warm pass: compile lands here, not in the timed window.
+    evaluate(cfg, args.checkpoint, args.savedir + "_warm", dataset=dataset,
              eval_flags=EvalFlags(), max_frames=1, log=False, dtype=dtype)
 
-    t0 = time.perf_counter()
-    r = evaluate(cfg, args.checkpoint, args.savedir,
+    r = evaluate(cfg, args.checkpoint, args.savedir, dataset=dataset,
                  eval_flags=EvalFlags(), max_frames=args.frames,
                  log=False, dtype=dtype)
-    wall = time.perf_counter() - t0
 
     n = int(r["frames"])
+    loop = r["frame_loop_s"]
     mode = ("occupancy" if args.occupancy
             else "fast-eval" if args.fast_eval else "parity")
-    print(f"{mode}: {n} frames in {wall:.2f}s wall "
-          f"(incl. ckpt restore + readback + PNG + normals) = "
-          f"{wall / n * 1e3:.1f} ms/frame, {n / wall:.2f} fps; "
+    print(f"{mode}: {n} frames in {loop:.2f}s frame-loop wall "
+          f"(readback + PNG + normals incl.) = "
+          f"{loop / n * 1e3:.1f} ms/frame, {n / loop:.2f} fps; "
+          f"setup (ckpt restore + grid build) {r['setup_s']:.2f}s; "
           f"driver's dispatch-only avg {r['avg_time_per_image'] * 1e3:.1f} ms")
 
 

@@ -115,8 +115,11 @@ def scaled_config(ds_dir: str, logdir: str, iters: int, size: int) -> dict:
     )
     if size >= 128:
         # presentable runs keep the reference's production shape
-        # (2048 rays, 64+64 samples — the paper config's own values)
+        # (2048 rays, 64+64 samples — the paper config's own values) and
+        # the production feed (device-side sampling: no per-step host
+        # arrays over the tunnel — RUNBOOK.md §2)
         cfg["nerf"]["validation"].update(chunksize=min(size * size, 65536))
+        cfg["experiment"]["device_feed"] = True
     else:
         # the 64² smoke regime recorded in RUNBOOK.md
         cfg["nerf"]["train"].update(num_random_rays=512, num_coarse=16,
