@@ -174,3 +174,76 @@ class DeviceRayFeed:
             return out
 
         return jax.jit(sample) if jit else sample
+
+    def make_process_sampler(self, mesh, data_axis: str = "data"):
+        """Multi-process variant of `make_mesh_sampler`: a sampler whose
+        output is a GLOBAL batch over a process-spanning mesh, with zero
+        per-step host work or host→device ray transfer.
+
+        A process-spanning jit cannot close over this process's committed
+        feed residents, so each process instead runs a PROCESS-LOCAL jit
+        that draws the blocks owned by its own devices — device with
+        global mesh position g draws with `fold_in(k_pix, g)`, exactly
+        the stream `make_mesh_sampler` assigns to that position — sharded
+        over a local sub-mesh so every local device computes (and holds)
+        its own block. The local shards are then reinterpreted as the
+        global array's shards via `make_array_from_single_device_arrays`
+        (a metadata operation: no copy, no host round trip). Result: the
+        global batch is bit-identical to the single-process mesh
+        sampler's, which is what makes the multi-process device-feed run
+        leave the same checkpoint as the single-process one
+        (tests/test_distributed.py)."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from nerface_tpu.train.distributed import RAY_KEYS as ray_keys
+
+        n_dev = int(mesh.devices.size)
+        flat = list(mesh.devices.reshape(-1))
+        pid = jax.process_index()
+        local = [(g, d) for g, d in enumerate(flat) if d.process_index == pid]
+        if not local:
+            raise ValueError("mesh has no devices on this process")
+        local_devs = np.asarray([d for _, d in local])
+        global_ids = np.asarray([g for g, _ in local], np.int32)
+        n_local = len(local)
+
+        lmesh = Mesh(local_devs, (data_axis,))
+        ray_local = NamedSharding(lmesh, P(data_axis))
+        rep_local = NamedSharding(lmesh, P())
+        ray_global = NamedSharding(mesh, P(data_axis))
+        rep_global = NamedSharding(mesh, P())
+
+        @jax.jit
+        def local_sample(key: jax.Array) -> Dict[str, jnp.ndarray]:
+            k_frame, k_pix = jax.random.split(key)
+            per_dev = jax.vmap(
+                lambda g: self._draw(k_frame, jax.random.fold_in(k_pix, g))
+            )(jnp.asarray(global_ids))
+            out = {}
+            for k, v in per_dev.items():
+                if k in ray_keys:
+                    out[k] = jax.lax.with_sharding_constraint(
+                        v.reshape((n_local * self.num_rays,) + v.shape[2:]),
+                        ray_local,
+                    )
+                else:
+                    out[k] = jax.lax.with_sharding_constraint(v[0], rep_local)
+            return out
+
+        def sample(key: jax.Array) -> Dict[str, jax.Array]:
+            lb = local_sample(key)
+            out = {}
+            for k, v in lb.items():
+                shards = [s.data for s in v.addressable_shards]
+                if k in ray_keys:
+                    gshape = (n_dev * self.num_rays,) + v.shape[1:]
+                    out[k] = jax.make_array_from_single_device_arrays(
+                        gshape, ray_global, shards
+                    )
+                else:
+                    out[k] = jax.make_array_from_single_device_arrays(
+                        v.shape, rep_global, shards
+                    )
+            return out
+
+        return sample

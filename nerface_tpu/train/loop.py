@@ -224,11 +224,6 @@ def train(
         # dispatches), so long schedules should sample on device
         device_feed = bool(cfg.experiment.get("device_feed") or False)
     multiprocess = jax.process_count() > 1
-    if multiprocess and device_feed:
-        raise NotImplementedError(
-            "--device-feed is per-process; use the host feed under "
-            "multi-process training"
-        )
     primary = jax.process_index() == 0
 
     if dataset is None:
@@ -342,8 +337,14 @@ def train(
                 mesh=mesh, dtype=dtype, donate=donate, sample_fn=sample_fn,
             )
         else:
+            # multi-process: each process's local jit draws its own
+            # devices' blocks of the global batch (same per-device key
+            # folds as the single-process mesh sampler — bit-identical
+            # stream), assembled into global arrays without any host
+            # round trip (device_feed.make_process_sampler)
             sampler = (
-                dfeed.make_mesh_sampler(mesh) if mesh is not None
+                dfeed.make_process_sampler(mesh) if multiprocess
+                else dfeed.make_mesh_sampler(mesh) if mesh is not None
                 else dfeed.make_sampler()
             )
             feed_counter = int(state.step)  # counter-keyed: resume continues
@@ -516,7 +517,9 @@ def train(
             else:
                 j = i
                 batch = next(feed)
-                if multiprocess:
+                if multiprocess and not device_feed:
+                    # host feed: local numpy → global arrays (the device
+                    # feed's process sampler already emits global arrays)
                     from nerface_tpu.train.distributed import global_batch
 
                     batch = global_batch(batch, mesh)
