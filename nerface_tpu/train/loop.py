@@ -417,6 +417,27 @@ def train(
     from concurrent.futures import ThreadPoolExecutor
 
     io_pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="train-log")
+
+    # -- async validation: the full-frame render (~2.5 s at 512² on the
+    # tunneled chip, the last synchronous cost in the round-4 sustained
+    # ledger) runs on a side thread from a snapshot of the post-boundary
+    # params, so train windows keep dispatching. Snapshot = jnp.copy per
+    # leaf (a device-side copy dispatch): the next window may DONATE the
+    # state's buffers, so the render must own its own. Default: on for
+    # windowed (production) single-process runs; `experiment.async_val`
+    # overrides. Metrics are bit-identical to the synchronous call — the
+    # snapshot is the same post-step-j state (tests/test_async_val.py).
+    async_val = cfg.experiment.get("async_val")
+    if async_val is None:
+        async_val = use_mega
+    async_val = bool(async_val) and not multiprocess
+    val_pool = None
+    val_pending: deque = deque()
+    if async_val:
+        val_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="train-val"
+        )
+
     ckpt_writer = None
     flatten_state = None
     torch_export = None
@@ -538,22 +559,55 @@ def train(
                 # eval inputs are host-local); only process 0 logs. Params
                 # are replicated over the global mesh, so every process can
                 # read a full local copy.
-                val_state = state
-                if multiprocess:
-                    val_state = jax.tree.map(
-                        lambda x: np.asarray(x) if hasattr(x, "sharding") else x,
+                if val_pool is not None:
+                    import dataclasses as _dc
+
+                    snap = _dc.replace(
                         state,
+                        params=jax.tree.map(jnp.copy, state.params),
+                        fixed_background=(
+                            jnp.copy(state.fixed_background)
+                            if state.fixed_background is not None else None
+                        ),
                     )
-                vm = validate(
-                    cfg, dataset, model_coarse, model_fine, val_state,
-                    background, flags, writer, j, dtype=dtype,
-                    mesh=None if multiprocess else mesh,
-                )
-                if primary:
-                    print(
-                        f"[VAL] Iter: {j} loss: {vm['loss']:.6f} "
-                        f"PSNR: {vm['psnr']:.3f} time: {vm['time']:.2f}s"
+
+                    def _run_val(vs, vj):
+                        vm = validate(
+                            cfg, dataset, model_coarse, model_fine, vs,
+                            background, flags, writer, vj, dtype=dtype,
+                            mesh=mesh,
+                        )
+                        if primary:
+                            print(
+                                f"[VAL] Iter: {vj} loss: {vm['loss']:.6f} "
+                                f"PSNR: {vm['psnr']:.3f} "
+                                f"time: {vm['time']:.2f}s"
+                            )
+                        return vm
+
+                    val_pending.append(val_pool.submit(_run_val, snap, j))
+                    # at most one render in flight: the next validation
+                    # boundary waits for the previous render (bounds both
+                    # device contention and snapshot memory to one copy)
+                    while len(val_pending) > 1:
+                        val_pending.popleft().result()
+                else:
+                    val_state = state
+                    if multiprocess:
+                        val_state = jax.tree.map(
+                            lambda x: np.asarray(x) if hasattr(x, "sharding") else x,
+                            state,
+                        )
+                    vm = validate(
+                        cfg, dataset, model_coarse, model_fine, val_state,
+                        background, flags, writer, j, dtype=dtype,
+                        mesh=None if multiprocess else mesh,
                     )
+                    if primary:
+                        print(
+                            f"[VAL] Iter: {j} loss: {vm['loss']:.6f} "
+                            f"PSNR: {vm['psnr']:.3f} time: {vm['time']:.2f}s"
+                        )
 
             if save_every > 0 and (j % save_every == 0 or j == train_iters - 1):
                 if ckpt_writer is not None:
@@ -593,9 +647,13 @@ def train(
         try:
             if feed is not None:
                 feed.stop()
+            while val_pending:  # surface side-thread render failures
+                val_pending.popleft().result()
             if ckpt_writer is not None:
                 ckpt_writer.finish()
         finally:
+            if val_pool is not None:
+                val_pool.shutdown(wait=True)
             io_pool.shutdown(wait=True)
             writer.close()
     return state

@@ -236,6 +236,9 @@ def main():
     ap.add_argument("--iters", type=int, default=400)
     ap.add_argument("--rays", type=int, default=256)
     ap.add_argument("--samples", type=int, default=16)
+    ap.add_argument("--res", type=int, default=64,
+                    help="synthetic dataset resolution (HxW); the round-5 "
+                         "non-toy rehearsals run --res 128 --samples 32")
     ap.add_argument("--workdir", type=str, default="/tmp/parity_rehearsal")
     ap.add_argument("--out", type=str, default="PARITY.md")
     ap.add_argument("--deterministic", action="store_true",
@@ -315,8 +318,8 @@ def main():
     os.makedirs(args.workdir, exist_ok=True)
     ds_dir = os.path.join(args.workdir, "ds")
     if not os.path.exists(os.path.join(ds_dir, "transforms_train.json")):
-        make_synthetic_flame_dataset(ds_dir, H=64, W=64, n_train=8, n_val=4,
-                                     n_test=1)
+        make_synthetic_flame_dataset(ds_dir, H=args.res, W=args.res,
+                                     n_train=8, n_val=4, n_test=1)
 
     tag = "det" if args.deterministic else "prod"
     if args.seed is not None:
@@ -446,7 +449,7 @@ def main():
 
 Reference `train_transformed_rays.py`, UNMODIFIED, run end-to-end on CPU
 torch vs `nerface_tpu.cli.train` ({our_path}) — same synthetic
-dataset (64x64, 8 train frames), same config scaled to {args.iters} iters /
+dataset ({args.res}x{args.res}, 8 train frames), same config scaled to {args.iters} iters /
 {args.rays} rays / {args.samples}+{args.samples} samples, same initial
 checkpoint (exported through the torch interop). Frame/ray selection RNG
 is independent per side, so trajectories are compared smoothed.
@@ -460,7 +463,8 @@ is independent per side, so trajectories are compared smoothed.
 Mean relative EMA-loss gap over the second half: {rel_tail:.2%}.
 PSNR delta: {abs(our_psnr - ref_psnr):.2f} dB.
 
-Reproduce: `python tools/parity_rehearsal.py --iters {args.iters}`.
+Reproduce: `python tools/parity_rehearsal.py --iters {args.iters} \
+--res {args.res} --rays {args.rays} --samples {args.samples}`.
 """
     with open(args.out, "w") as f:
         f.write(report)
