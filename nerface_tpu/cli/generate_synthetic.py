@@ -34,6 +34,23 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--focal", type=float, default=300.0,
                         help="--mesh mode: focal length in pixels "
                         "(pyrender_data.py:90).")
+    parser.add_argument(
+        "--splat", action="store_true",
+        help="Point-splatting output instead of a NeRF dataset — the "
+        "`rendering/render_trimesh.py:74-353` contract (depth/ pngs, "
+        "<mode>/A/pose_%%d.npy xyz+vert_id maps, poses_{train,test}.npy; "
+        "LATTICE train / SPIRAL test poses). Requires --mesh; --n-train/"
+        "--n-test set the view counts; --render-color adds the <mode>/B "
+        "shaded renders (software rasterizer — no GL in this image).",
+    )
+    parser.add_argument("--render-color", action="store_true",
+                        help="--splat mode: also write <mode>/B color "
+                        "renders of each pose.")
+    parser.add_argument(
+        "--coords-space", choices=["world", "cam"], default="world",
+        help="--splat mode: xyz stored per pixel (the reference's "
+        "save_world_space_coords / save_cam_space_coords switch).",
+    )
     return parser
 
 
@@ -49,6 +66,20 @@ def main(argv=None) -> None:
     from nerface_tpu.data.synthetic import _checkerboard, render_blob_frame
     from nerface_tpu.tools.dataset_builder import look_at
     from nerface_tpu.tools.spherical_sampler import SphericalSampler
+
+    if args.splat:
+        if not args.mesh:
+            raise SystemExit("--splat requires --mesh")
+        from nerface_tpu.tools.point_splat import splat_dataset
+
+        counts = splat_dataset(
+            args.mesh, args.target,
+            n_views_train=args.n_train, n_views_test=args.n_test,
+            im_size=args.size, coords_space=args.coords_space,
+            render_color=args.render_color, focal=args.focal,
+        )
+        print(f"splat dataset written to {args.target}: {counts}")
+        return
 
     if args.mesh:
         from nerface_tpu.tools.mesh_dataset import generate_mesh_dataset
