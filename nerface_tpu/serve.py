@@ -248,7 +248,7 @@ class AvatarServer:
                 latent_index = int(self.idx_map[frame, 1])
         return pose, expr, max(latent_index, 0)
 
-    def render(
+    def render_async(
         self,
         expression=None,
         pose=None,
@@ -257,8 +257,13 @@ class AvatarServer:
         seed: int = 0,
         maps=("rgb_fine",),
         fast_eval: Optional[bool] = None,
-    ) -> Dict[str, np.ndarray]:
-        """Render one frame; returns uint8 image maps keyed by name.
+    ) -> Dict[str, tuple]:
+        """DISPATCH half of a render: queue the jitted frame render plus
+        the on-device uint8 quantizations and return un-pulled device
+        arrays keyed by map name (each as ("u8"|"disp", array)). No host
+        readback happens here — `finalize_maps` does the pulls — so the
+        TCP loop can dispatch request N while request N-1's readback +
+        PNG encode + reply ride the pipeline thread.
 
         `fast_eval=None` uses the server default.  The fast path's bbox,
         capacity, and (if enabled) occupancy grid are frozen from the
@@ -316,20 +321,22 @@ class AvatarServer:
             bbox=bbox,
             occupancy=occ,
         )
-        result: Dict[str, np.ndarray] = {}
+        pending: Dict[str, tuple] = {}
         for m in maps:
             if m in ("rgb_fine", "rgb_coarse"):
                 src = out.get(m, out["rgb_coarse"])
-                result[m] = np.asarray(device_cast_to_image(src))
+                pending[m] = ("u8", device_cast_to_image(src))
             elif m == "disp":
-                src = out.get("disp_fine", out["disp_coarse"])
-                result[m] = cast_to_disparity_image(np.asarray(src))
+                # disp keeps the host float64 min/max normalize (the
+                # documented reference contract) — the raw float map is
+                # pulled in finalize_maps
+                pending[m] = ("disp", out.get("disp_fine", out["disp_coarse"]))
             elif m == "depth":
                 depth = out.get("depth_fine", out["depth_coarse"])
-                result[m] = np.asarray(_u8_minmax(depth))
+                pending[m] = ("u8", _u8_minmax(depth))
             elif m == "acc":
-                result[m] = np.asarray(
-                    _u8_unit(out.get("acc_fine", out["acc_coarse"]))
+                pending[m] = (
+                    "u8", _u8_unit(out.get("acc_fine", out["acc_coarse"]))
                 )
             elif m == "normals":
                 # Same inputs as the eval driver: disparity + bg_weight
@@ -339,13 +346,35 @@ class AvatarServer:
                     disp, jnp.asarray(self.intrinsics, jnp.float32),
                     out["bg_weight"], clean=True,
                 )
-                result[m] = np.asarray(device_uint8(normals))
+                pending[m] = ("u8", device_uint8(normals))
         self.requests_served += 1
+        return pending
+
+    @staticmethod
+    def finalize_maps(pending: Dict[str, tuple]) -> Dict[str, np.ndarray]:
+        """READBACK half: pull each dispatched map to host uint8."""
+        result: Dict[str, np.ndarray] = {}
+        for m, (kind, arr) in pending.items():
+            if kind == "disp":
+                result[m] = cast_to_disparity_image(np.asarray(arr))
+            else:
+                result[m] = np.asarray(arr)
         return result
 
+    def render(self, **kwargs) -> Dict[str, np.ndarray]:
+        """Render one frame synchronously; returns uint8 maps by name
+        (dispatch + readback in one call — see `render_async`)."""
+        return self.finalize_maps(self.render_async(**kwargs))
+
     # ------------------------------------------------------------------
-    def handle(self, request: dict) -> dict:
-        """One request dict → one response dict (never raises)."""
+    def handle_split(self, request: dict):
+        """(response, finish): exactly one is non-None; neither raises.
+
+        Control commands and errors answer immediately (`response`).
+        Render requests return `finish` with the device work ALREADY
+        DISPATCHED: calling it completes the host half — readback, PNG
+        encode/save, response framing — and may run on a pipeline thread
+        while the caller dispatches the next request's device work."""
         try:
             cmd = request.get("cmd")
             if cmd == "ping":
@@ -359,15 +388,15 @@ class AvatarServer:
                     ),
                     "fast_eval": bool(self.settings.fast_eval),
                     "requests_served": self.requests_served,
-                }
+                }, None
             if cmd == "stop":
-                return {"ok": True, "cmd": "stop"}
+                return {"ok": True, "cmd": "stop"}, None
             if cmd is not None:
-                return {"ok": False, "error": f"unknown cmd {cmd!r}"}
+                return {"ok": False, "error": f"unknown cmd {cmd!r}"}, None
 
             maps = tuple(request.get("maps", ("rgb_fine",)))
             t0 = time.time()
-            rendered = self.render(
+            pending = self.render_async(
                 expression=request.get("expression"),
                 pose=request.get("pose"),
                 frame=request.get("frame"),
@@ -376,36 +405,50 @@ class AvatarServer:
                 maps=maps,
                 fast_eval=request.get("fast_eval"),
             )
-            # Sync before timing: the tunneled TPU backend returns async
-            # futures that block_until_ready does not cover.
-            for v in rendered.values():
-                np.asarray(v)
-            frame_ms = (time.time() - t0) * 1000.0
-
-            response: dict = {"ok": True, "frame_ms": round(frame_ms, 2)}
-            save = request.get("save")
-            if save:
-                from PIL import Image
-
-                saved = []
-                for name, img in rendered.items():
-                    path = f"{save}{name}.png"
-                    Image.fromarray(img).save(path)
-                    saved.append(path)
-                response["saved"] = saved
-            if request.get("encode") == "png_base64":
-                response["maps"] = {
-                    name: {
-                        "shape": list(img.shape),
-                        "png_base64": base64.b64encode(
-                            _encode_png(img)
-                        ).decode("ascii"),
-                    }
-                    for name, img in rendered.items()
-                }
-            return response
         except Exception as e:  # serving loop must survive bad requests
-            return {"ok": False, "error": f"{type(e).__name__}: {e}"}
+            return {"ok": False, "error": f"{type(e).__name__}: {e}"}, None
+
+        def finish() -> dict:
+            try:
+                # the pulls sync the render: the tunneled TPU backend
+                # returns async futures that block_until_ready does not
+                # cover, so np.asarray IS the completion point
+                rendered = self.finalize_maps(pending)
+                frame_ms = (time.time() - t0) * 1000.0
+
+                response: dict = {
+                    "ok": True, "frame_ms": round(frame_ms, 2)
+                }
+                save = request.get("save")
+                if save:
+                    from PIL import Image
+
+                    saved = []
+                    for name, img in rendered.items():
+                        path = f"{save}{name}.png"
+                        Image.fromarray(img).save(path)
+                        saved.append(path)
+                    response["saved"] = saved
+                if request.get("encode") == "png_base64":
+                    response["maps"] = {
+                        name: {
+                            "shape": list(img.shape),
+                            "png_base64": base64.b64encode(
+                                _encode_png(img)
+                            ).decode("ascii"),
+                        }
+                        for name, img in rendered.items()
+                    }
+                return response
+            except Exception as e:
+                return {"ok": False, "error": f"{type(e).__name__}: {e}"}
+
+        return None, finish
+
+    def handle(self, request: dict) -> dict:
+        """One request dict → one response dict (never raises)."""
+        response, finish = self.handle_split(request)
+        return response if finish is None else finish()
 
     def serve_jsonl(self, in_stream, out_stream, max_requests=None) -> int:
         """Serve newline-delimited JSON until EOF, a stop command, or
@@ -433,97 +476,149 @@ class AvatarServer:
         return handled
 
     def serve_tcp(self, host: str, port: int, max_requests=None) -> int:
-        """Serve the JSONL protocol over TCP. Single-threaded, but
-        MULTIPLEXED over connections with `selectors`: many clients can
-        stay connected at once — their requests serialize at the one
-        renderer (one chip → one server process), but a slow or idle
-        client never blocks another from connecting or being answered.
-        Per-connection failures (resets, disconnects mid-request) drop
-        that connection only. Returns the number of requests handled;
-        `max_requests` bounds tests/draining."""
+        """Serve the JSONL protocol over TCP, PIPELINED: the selectors
+        loop dispatches each render's device work inline (`handle_split`)
+        and hands the host half — readback over the tunnel, PNG
+        encode/save, the socket reply — to a single pipeline thread. The
+        device renders request N while the pipeline thread finishes
+        request N-1, so serve overhead (130-190 ms/request of readback +
+        framing, BENCH_NOTES "Serving latency") overlaps render instead
+        of adding to it; concurrent clients get true overlap instead of
+        serializing end-to-end.
+
+        Ordering: the pipeline is one FIFO worker, so responses leave in
+        arrival order — per-connection AND globally. In-flight work is
+        bounded (backpressure blocks the accept loop past 4 queued
+        requests). Per-connection failures (resets, disconnects
+        mid-request) drop that connection only; a worker-side send
+        failure is reaped by the loop. Returns the number of requests
+        handled; `max_requests` bounds tests/draining."""
         import selectors
+        import threading
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
 
         handled = 0
         sel = selectors.DefaultSelector()
         buffers: Dict[socket.socket, bytes] = {}
+        dead_lock = threading.Lock()
+        dead: set = set()  # conns whose pipeline send failed
 
         def drop(conn):
-            sel.unregister(conn)
+            try:
+                sel.unregister(conn)
+            except (KeyError, ValueError):
+                pass
             buffers.pop(conn, None)
             try:
                 conn.close()
             except OSError:
                 pass
 
-        with socket.create_server((host, port)) as srv:
-            srv.setblocking(False)
-            sel.register(srv, selectors.EVENT_READ)
-            if self._log:
-                print(
-                    f"[serve] listening on {host}:{srv.getsockname()[1]}",
-                    flush=True,
+        def send_job(conn, response, finish):
+            """Pipeline thread: complete the host half, reply in order."""
+            if finish is not None:
+                response = finish()
+            try:
+                conn.sendall(
+                    (json.dumps(response) + "\n").encode("utf-8")
                 )
-            stop = False
-            while not stop and (max_requests is None or handled < max_requests):
-                for key, _ in sel.select():
-                    if key.fileobj is srv:
-                        conn, _addr = srv.accept()
-                        conn.setblocking(True)  # writes may be large PNGs
-                        sel.register(conn, selectors.EVENT_READ)
-                        buffers[conn] = b""
-                        continue
-                    conn = key.fileobj
-                    try:
-                        data = conn.recv(65536)
-                    except OSError:
+            except OSError as e:
+                # client gone mid-response: that client only
+                if self._log:
+                    print(f"[serve] connection dropped: {e}", flush=True)
+                with dead_lock:
+                    dead.add(conn)
+            return response
+
+        pipe = ThreadPoolExecutor(max_workers=1, thread_name_prefix="serve-pipe")
+        inflight: deque = deque()
+
+        try:
+            with socket.create_server((host, port)) as srv:
+                srv.setblocking(False)
+                sel.register(srv, selectors.EVENT_READ)
+                if self._log:
+                    print(
+                        f"[serve] listening on {host}:{srv.getsockname()[1]}",
+                        flush=True,
+                    )
+                stop = False
+                while not stop and (
+                    max_requests is None or handled < max_requests
+                ):
+                    events = sel.select(timeout=0.2)
+                    with dead_lock:
+                        reap, dead = dead, set()
+                    for conn in reap:
                         drop(conn)
-                        continue
-                    if not data:
-                        drop(conn)
-                        continue
-                    buffers[conn] += data
-                    while b"\n" in buffers[conn]:
-                        line, buffers[conn] = buffers[conn].split(b"\n", 1)
-                        line = line.strip()
-                        if not line:
+                    while inflight and inflight[0].done():
+                        inflight.popleft()
+                    for key, _ in events:
+                        if key.fileobj is srv:
+                            conn, _addr = srv.accept()
+                            conn.setblocking(True)  # writes may be large PNGs
+                            sel.register(conn, selectors.EVENT_READ)
+                            buffers[conn] = b""
                             continue
+                        conn = key.fileobj
                         try:
-                            response = self.handle(
-                                json.loads(line.decode("utf-8"))
-                            )
-                        except (json.JSONDecodeError, UnicodeDecodeError) as e:
-                            response = {"ok": False, "error": f"bad json: {e}"}
-                        try:
-                            conn.sendall(
-                                (json.dumps(response) + "\n").encode("utf-8")
-                            )
-                        except OSError as e:
-                            # client gone mid-response: that client only
-                            if self._log:
-                                print(
-                                    f"[serve] connection dropped: {e}",
-                                    flush=True,
-                                )
+                            data = conn.recv(65536)
+                        except OSError:
                             drop(conn)
-                            break
-                        handled += 1
-                        if (
-                            response.get("cmd") == "stop"
-                            and response.get("ok")
-                        ):
-                            stop = True
-                            break
-                        if (
+                            continue
+                        if not data:
+                            drop(conn)
+                            continue
+                        buffers[conn] += data
+                        while b"\n" in buffers.get(conn, b""):
+                            line, buffers[conn] = buffers[conn].split(b"\n", 1)
+                            line = line.strip()
+                            if not line:
+                                continue
+                            try:
+                                response, finish = self.handle_split(
+                                    json.loads(line.decode("utf-8"))
+                                )
+                            except (
+                                json.JSONDecodeError, UnicodeDecodeError
+                            ) as e:
+                                response, finish = (
+                                    {"ok": False, "error": f"bad json: {e}"},
+                                    None,
+                                )
+                            is_stop = (
+                                finish is None
+                                and response.get("cmd") == "stop"
+                                and response.get("ok")
+                            )
+                            inflight.append(
+                                pipe.submit(send_job, conn, response, finish)
+                            )
+                            handled += 1
+                            if is_stop:
+                                stop = True
+                                break
+                            if (
+                                max_requests is not None
+                                and handled >= max_requests
+                            ):
+                                break
+                            # backpressure: bound device run-ahead + queued
+                            # host pulls to a handful of requests
+                            while len(inflight) > 4:
+                                inflight.popleft().result()
+                        if stop or (
                             max_requests is not None
                             and handled >= max_requests
                         ):
                             break
-                    if stop or (
-                        max_requests is not None and handled >= max_requests
-                    ):
-                        break
-            for conn in list(buffers):
-                drop(conn)
-            sel.unregister(srv)
-        sel.close()
+                while inflight:  # drain: every accepted request is answered
+                    inflight.popleft().result()
+                for conn in list(buffers):
+                    drop(conn)
+                sel.unregister(srv)
+        finally:
+            pipe.shutdown(wait=True)
+            sel.close()
         return handled

@@ -224,6 +224,48 @@ class TestServeLoops:
         t.join(timeout=30)
         assert not t.is_alive()
 
+    def test_tcp_pipelined_ordering(self, server):
+        """Pipelined serve: a burst of renders + a trailing ping on ONE
+        connection must come back in arrival order (the FIFO pipeline
+        thread serializes replies even though pings answer instantly and
+        renders ride the readback pipeline)."""
+        probe = socket.socket()
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
+        probe.close()
+        t = threading.Thread(
+            target=server.serve_tcp, args=("127.0.0.1", port)
+        )
+        t.start()
+        import time
+
+        sock = None
+        for _ in range(50):
+            try:
+                sock = socket.create_connection(("127.0.0.1", port))
+                break
+            except OSError:
+                time.sleep(0.1)
+        if sock is None:
+            pytest.fail(f"server on port {port} never accepted a connection")
+        burst = (
+            json.dumps({"seed": 1}) + "\n"
+            + json.dumps({"seed": 2}) + "\n"
+            + json.dumps({"cmd": "ping"}) + "\n"
+            + json.dumps({"cmd": "stop"}) + "\n"
+        )
+        sock.sendall(burst.encode())
+        f = sock.makefile("r")
+        replies = [json.loads(f.readline()) for _ in range(4)]
+        sock.close()
+        t.join(timeout=30)
+        assert not t.is_alive()
+        # renders first (in order), then the ping, then the stop
+        assert replies[0]["ok"] and "frame_ms" in replies[0]
+        assert replies[1]["ok"] and "frame_ms" in replies[1]
+        assert replies[2]["ok"] and replies[2]["cmd"] == "ping"
+        assert replies[3]["ok"] and replies[3]["cmd"] == "stop"
+
     def test_tcp_concurrent_clients(self, server):
         """Two clients connected at once: an idle early connection must
         not block a later one (multiplexed accept loop), and both
