@@ -107,7 +107,10 @@ def scaled_config(ds_dir: str, logdir: str, iters: int, size: int) -> dict:
     cfg["dataset"]["half_res"] = False
     cfg["experiment"].update(
         logdir=logdir, id="avatar", train_iters=iters,
-        print_every=max(iters // 10, 1), validate_every=max(iters // 3, 1),
+        # cadences must share a large common divisor or
+        # train/loop._effective_window collapses toward K=1 (iters//3 at
+        # 200k gives 66666, gcd 2 with print_every → 2-step windows)
+        print_every=max(iters // 10, 1), validate_every=max(iters // 4, 1),
         # the loop always writes a final checkpoint at train_iters-1; a
         # round save_every keeps the cadences divisible so production
         # runs get the K>1 execution window (train/loop.py round 4)
