@@ -10,10 +10,12 @@ same jitted full-frame renderer as batch eval (`eval/renderer.py`):
 
 - **Warm jit cache.** Every request reuses ONE compiled executable
   (static H/W/sample-count/capacity shapes), so requests after the first
-  are compile-free. Measured end-to-end on the real chip (512², bf16,
-  converged checkpoint; BENCH_NOTES.md "Serving latency"): 358 ms/request
-  median on the fast-eval path (2.8 fps incl. host readback + JSON
-  framing), 713 ms parity; 3 concurrent clients hold 2.64 req/s through
+  are compile-free. Measured end-to-end on the real chip (512², bf16;
+  BENCH_NOTES.md "Round 5: serving latency, pipelined"): 226.8 ms/request
+  steady (4.4 fps) on the fast-eval path for a client that keeps ≥2
+  requests in flight — `serve_tcp` overlaps request N's render with
+  N-1's readback/encode/reply; 282.0 ms synchronous `handle()`
+  (641.6 ms parity); 3 concurrent clients sustain 4.29 req/s through
   the selectors loop.
 - **Same quality contract as eval.** The parity renderer is the default;
   `fast_eval` (head-bbox ray skipping) is the same opt-in as the eval

@@ -46,6 +46,57 @@ def bench(server, label, n, encode):
     return ms
 
 
+def bench_pipelined(server, label, n, encode):
+    """Steady-state pipelined rate on ONE connection: send all n requests
+    back-to-back, then timestamp each reply as it arrives. serve_tcp
+    overlaps request k's device render with request k-1's host half
+    (readback + PNG encode + reply), so the steady-state inter-reply gap
+    is the render-bound cost alone — the number the synchronous
+    `handle()` rows cannot show. Reports the median gap after the first
+    reply (which pays the pipeline fill)."""
+    import json
+    import socket
+    import threading
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    t_srv = threading.Thread(
+        target=server.serve_tcp, args=("127.0.0.1", port),
+        kwargs={"max_requests": n}, daemon=True,
+    )
+    t_srv.start()
+    time.sleep(0.5)
+
+    with socket.create_connection(("127.0.0.1", port), timeout=600) as c:
+        f = c.makefile("rwb")
+        payload = b""
+        for i in range(n):
+            req = {"frame": 0, "maps": ["rgb_fine"], "seed": i}
+            if encode:
+                req["encode"] = "png_base64"
+            payload += json.dumps(req).encode() + b"\n"
+        t0 = time.time()
+        f.write(payload)
+        f.flush()
+        arrivals = []
+        for _ in range(n):
+            resp = json.loads(f.readline())
+            assert resp["ok"], resp
+            arrivals.append(time.time())
+    wall = arrivals[-1] - t0
+    gaps = np.diff(np.asarray(arrivals))
+    ms = float(np.median(gaps)) * 1000.0
+    print(
+        f"{label:34s} median {ms:8.1f} ms/request  "
+        f"({1000.0 / ms:.2f} fps steady)  [n={n}, "
+        f"first-reply {(arrivals[0] - t0) * 1e3:.1f} ms, "
+        f"aggregate {n / wall:.2f} req/s]"
+    )
+    return ms
+
+
 def bench_concurrent(server, label, n_clients, per_client, encode):
     """p50/p95 request latency with n_clients live TCP connections driving
     the selectors loop concurrently — requests serialize at the one
@@ -158,6 +209,8 @@ def main():
         if p is not None:
             print(f"fast-eval speedup over parity: {p / f:.2f}x")
 
+        bench_pipelined(fast, "fast-eval, pipelined (1 conn)",
+                        args.requests, encode=True)
         if args.clients:
             bench_concurrent(fast, "fast-eval, concurrent clients",
                              args.clients, max(4, args.requests // 4),
